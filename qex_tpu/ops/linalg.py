@@ -1,0 +1,219 @@
+"""Site-local dense linear algebra on lattice fields.
+
+TPU-native replacement for QEX's ``src/maths/`` layer
+(matrixConcept.nim:116-123, matrixOps.nim, matexp.nim, matinv.nim,
+matrixFunctions.nim:309-360).
+
+All operations act on the *leading* site-tensor axes of a field array:
+a matrix field has shape ``(n, m, *lattice_dims)`` and a vector field
+``(n, *lattice_dims)``.  Every op is a small static loop of elementwise
+multiplies/adds over full lattice volumes, which XLA fuses into a handful
+of VPU passes -- the idiomatic TPU mapping of QEX's per-site SIMD kernels.
+
+No data-dependent control flow: everything is jit/grad/vmap-safe.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# --- basic ops --------------------------------------------------------------
+
+def adj(m: jax.Array) -> jax.Array:
+    """Hermitian conjugate of a matrix field (leading two axes)."""
+    return jnp.conj(jnp.swapaxes(m, 0, 1))
+
+
+def mul(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Matrix-matrix product of two matrix fields: (a @ b) per site."""
+    return jnp.einsum("ab...,bc...->ac...", a, b)
+
+
+def mul_an(a: jax.Array, b: jax.Array) -> jax.Array:
+    """adj(a) @ b per site (QEX's ``mul(r, a.adj, b)``)."""
+    return jnp.einsum("ba...,bc...->ac...", jnp.conj(a), b)
+
+
+def mul_na(a: jax.Array, b: jax.Array) -> jax.Array:
+    """a @ adj(b) per site."""
+    return jnp.einsum("ab...,cb...->ac...", a, jnp.conj(b))
+
+
+def mul_aa(a: jax.Array, b: jax.Array) -> jax.Array:
+    """adj(a) @ adj(b) per site."""
+    return jnp.einsum("ba...,cb...->ac...", jnp.conj(a), jnp.conj(b))
+
+
+def mv(m: jax.Array, v: jax.Array) -> jax.Array:
+    """Matrix-vector product per site: (m @ v)."""
+    return jnp.einsum("ab...,b...->a...", m, v)
+
+
+def mv_an(m: jax.Array, v: jax.Array) -> jax.Array:
+    """adj(m) @ v per site."""
+    return jnp.einsum("ba...,b...->a...", jnp.conj(m), v)
+
+
+def outer(v: jax.Array, w: jax.Array) -> jax.Array:
+    """Outer product v w^dagger per site -> matrix field."""
+    return jnp.einsum("a...,b...->ab...", v, jnp.conj(w))
+
+
+def trace(m: jax.Array) -> jax.Array:
+    """Per-site trace (complex scalar field)."""
+    return jnp.einsum("aa...->...", m)
+
+
+def re_trace(m: jax.Array) -> jax.Array:
+    return jnp.real(trace(m))
+
+
+def eye_like(m: jax.Array) -> jax.Array:
+    """Identity matrix field broadcastable against matrix field ``m``."""
+    n = m.shape[0]
+    ident = jnp.eye(n, dtype=m.dtype)
+    return ident.reshape((n, n) + (1,) * (m.ndim - 2))
+
+
+def norm2(x: jax.Array) -> jax.Array:
+    """Global squared 2-norm: sum |x|^2 over all axes (real scalar).
+
+    QEX parity: Field.norm2 (src/field/fieldET.nim reductions), which does
+    thread-local sums + qmpSum.  Here XLA emits a deterministic tree
+    reduction (and a psum over the mesh when sharded).
+    """
+    xr = jnp.real(x)
+    xi = jnp.imag(x)
+    return jnp.sum(xr * xr) + jnp.sum(xi * xi)
+
+
+def dot(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Global inner product <x, y> = sum conj(x) y (complex scalar)."""
+    return jnp.sum(jnp.conj(x) * y)
+
+
+def redot(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Real part of the global inner product (QEX ``redot``)."""
+    return jnp.sum(jnp.real(x) * jnp.real(y) + jnp.imag(x) * jnp.imag(y))
+
+
+# --- 3x3 (and general small-n) closed forms ---------------------------------
+
+def det(m: jax.Array) -> jax.Array:
+    """Per-site determinant for n in {1, 2, 3} via closed form."""
+    n = m.shape[0]
+    if n == 1:
+        return m[0, 0]
+    if n == 2:
+        return m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0]
+    if n == 3:
+        return (
+            m[0, 0] * (m[1, 1] * m[2, 2] - m[1, 2] * m[2, 1])
+            - m[0, 1] * (m[1, 0] * m[2, 2] - m[1, 2] * m[2, 0])
+            + m[0, 2] * (m[1, 0] * m[2, 1] - m[1, 1] * m[2, 0])
+        )
+    raise NotImplementedError(f"det for n={n}")
+
+
+def inv(m: jax.Array) -> jax.Array:
+    """Per-site inverse for n in {1, 2, 3} via adjugate/determinant.
+
+    QEX parity: src/maths/matinv.nim.
+    """
+    n = m.shape[0]
+    d = det(m)
+    if n == 1:
+        return (1.0 / d)[None, None]
+    if n == 2:
+        rows = [[m[1, 1], -m[0, 1]], [-m[1, 0], m[0, 0]]]
+    elif n == 3:
+        def cof(i, j):
+            i1, i2 = [a for a in range(3) if a != i]
+            j1, j2 = [a for a in range(3) if a != j]
+            return m[i1, j1] * m[i2, j2] - m[i1, j2] * m[i2, j1]
+        # adjugate = transpose of cofactor matrix with checkerboard signs
+        rows = [
+            [((-1) ** (i + j)) * cof(j, i) for j in range(3)]
+            for i in range(3)
+        ]
+    else:
+        raise NotImplementedError(f"inv for n={n}")
+    adjugate = jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
+    return adjugate / d
+
+
+# --- matrix exponential -----------------------------------------------------
+
+def expm(m: jax.Array, order: int = 12, squarings: int = 4) -> jax.Array:
+    """Per-site matrix exponential via Taylor + scaling-and-squaring.
+
+    TPU-native analog of QEX's ``exp``/``expPoly3`` (src/maths/matexp.nim:
+    53-90).  A fixed (static) order/squaring count keeps this jit-stable
+    and exactly differentiable; for HMC/flow step sizes the argument norm
+    is O(1e-1), giving errors far below f32 resolution at the defaults.
+    """
+    x = m * (0.5 ** squarings)
+    r = eye_like(m) + x
+    term = x
+    fac = 1.0
+    for k in range(2, order + 1):
+        term = mul(term, x)
+        fac = fac / k
+        r = r + term * fac
+    for _ in range(squarings):
+        r = mul(r, r)
+    return r
+
+
+# --- hermitian inverse square root / unitary projection ---------------------
+
+def rsqrt_phm(h: jax.Array, iters: int = 14, eps: float = 1e-30) -> jax.Array:
+    """Inverse square root of a positive-definite hermitian matrix field.
+
+    Newton-Schulz iteration (coupled form), fully differentiable and
+    composed of small matmuls -- the stable differentiable formulation of
+    QEX's ``rsqrtPHM`` (src/maths/matrixFunctions.nim:309-360) that nHYP /
+    HISQ projection forces need.
+
+    The input is pre-scaled by its per-site trace so the iteration's
+    convergence condition ||I - H/s|| < 1 holds for any SPD input.
+    """
+    n = h.shape[0]
+    ident = eye_like(h)
+    # scale: s ~ tr(h)/n bounds the largest eigenvalue within [s/n, s*n]
+    s = jnp.real(trace(h)) / n + eps
+    a = h / s
+    # coupled Newton-Schulz: y -> a^{1/2}, z -> a^{-1/2}
+    y = a
+    z = ident
+    for _ in range(iters):
+        t = 0.5 * (3.0 * ident - mul(z, y))
+        y = mul(y, t)
+        z = mul(t, z)
+    return z / jnp.sqrt(s)
+
+
+def project_u(x: jax.Array, iters: int = 14) -> jax.Array:
+    """Polar projection U = X (X^dagger X)^{-1/2} onto U(n).
+
+    QEX parity: ``projectU`` (src/maths/matrixFunctions.nim:309-360), the
+    heart of nHYP/HISQ smearing.  Differentiable end-to-end (the chain
+    rule through the Newton-Schulz iterations replaces QEX's hand-derived
+    ``projectUDeriv``).
+    """
+    h = mul_an(x, x)
+    return mul(x, rsqrt_phm(h, iters=iters))
+
+
+def project_su(x: jax.Array, iters: int = 14) -> jax.Array:
+    """Project onto SU(n): polar projection then det-phase removal.
+
+    QEX parity: ``projectSU`` (src/gauge/gaugeUtils.nim).
+    """
+    n = x.shape[0]
+    u = project_u(x, iters=iters)
+    d = det(u)
+    phase = jnp.angle(d)
+    return u * jnp.exp(-1j * phase / n).astype(u.dtype)

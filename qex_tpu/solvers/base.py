@@ -1,0 +1,51 @@
+"""Solver parameter/result types.
+
+TPU-native replacement for QEX's src/solvers/solverBase.nim:10-28
+(``SolverParams{r2req, maxits, subset, ...}`` + stats plumbing).
+
+Stats are returned functionally (a ``SolverStats`` pytree) instead of
+mutated in place; callers accumulate them (see qex_tpu.utils.profile).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverParams:
+    """Static solve configuration (hashable: safe as a jit static arg).
+
+    r2req: relative residual^2 target (|r|^2 / |b|^2), QEX convention.
+    maxits: iteration cap per inner CG.
+    restarts: defect-correction restart cap (QEX stagSolve outer loop).
+    verbose: print per-solve summary lines.
+    """
+
+    r2req: float = 1e-12
+    maxits: int = 2000
+    restarts: int = 5
+    verbose: bool = False
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SolverStats:
+    """Per-solve statistics (QEX SolverParams.{iterations,seconds,flops,r2})."""
+
+    iterations: jax.Array | int = 0
+    r2: jax.Array | float = 0.0  # final relative residual^2
+
+    def tree_flatten(self):
+        return (self.iterations, self.r2), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+LinearOp = Callable[[jax.Array], jax.Array]
