@@ -1,0 +1,184 @@
+"""qex_tpu headline benchmark: even-odd staggered Dslash throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "GFLOP/s", "vs_baseline": N}
+
+The metric is the eo staggered Dslash GFLOP/s on a single chip at 32^4,
+using the reference's own flop model (18 + nd*(72+66+6) = 594 flops/site,
+/root/reference/src/physics/stagD.nim:393) so the number is directly
+comparable to QEX's self-reported Gflops.  The reference publishes no
+absolute numbers (BASELINE.md), so ``vs_baseline`` reports the fraction
+of the HBM-bandwidth roofline achieved -- the honest speed-of-light
+measure for this bandwidth-bound kernel (arith intensity ~0.75 flop/B in
+complex64).
+
+Backend notes: on the axon-tunneled TPU, eager dispatch and complex
+host transfers are unsupported -- ALL computation here lives inside jit
+and only real f32 scalars cross to the host.  Timing is a jitted
+``lax.scan`` chain of dependent operator applications ended by a scalar
+fetch (a hard sync on every backend).  If even that is impossible, we
+re-exec on the CPU backend and say so on stderr.
+
+Extra diagnostics (CG solve time, roofline details) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def detect_hbm_bw_gbs(device) -> float:
+    """Best-effort HBM bandwidth of the attached chip (GB/s)."""
+    kind = getattr(device, "device_kind", "cpu").lower()
+    table = [
+        ("v5 lite", 819.0), ("v5e", 819.0), ("v5p", 2765.0),
+        ("v6 lite", 1640.0), ("v6e", 1640.0), ("v6", 3584.0),
+        ("v4", 1228.0), ("v3", 900.0), ("v2", 700.0), ("v5", 2765.0),
+    ]
+    for k, v in table:
+        if k in kind:
+            return v
+    return 100.0  # CPU-ish fallback
+
+
+def backend_can_fetch(timeout_s: float = 180.0) -> bool:
+    """True iff a jit-computed real scalar can be fetched from the
+    default backend, probed in a daemon thread so a hang cannot wedge
+    the benchmark."""
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+            v = jax.jit(lambda: jnp.sum(jnp.arange(16.0)))()
+            result["ok"] = float(v) == 120.0
+        except Exception as e:
+            print(f"# fetch probe failed: {e}", file=sys.stderr)
+            result["ok"] = False
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    return result.get("ok", False)
+
+
+def main() -> None:
+    import os
+
+    if "--cpu" in sys.argv:
+        import jax
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
+    elif not backend_can_fetch():
+        print("# default backend cannot return values (restricted tunnel); "
+              "re-running on CPU backend", file=sys.stderr)
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__), "--cpu"], env)
+
+    import jax
+    import jax.numpy as jnp
+    from qex_tpu.lattice import Lattice
+    from qex_tpu.ops import group, linalg
+    from qex_tpu.physics import stag_solve, staggered as st
+    from qex_tpu.solvers.base import SolverParams
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform.lower() != "cpu"
+    dims = (32, 32, 32, 32) if on_tpu else (16, 16, 16, 16)
+    lat = Lattice(dims)
+    dtype = jnp.complex64
+    mass = 0.1
+    iters = 50
+    napp = 2  # Dslash applications per d2ee
+
+    @jax.jit
+    def setup(key):
+        """Hot-start SU(3) links (exp of TAH: QR-free) + unit-norm rhs,
+        already phased+eo-packed."""
+        ks = jax.random.split(key, lat.nd + 1)
+        u = jnp.stack([
+            linalg.expm(0.7 * group.random_tah(ks[i], lat.dims, lat.nc,
+                                               dtype))
+            for i in range(lat.nd)])
+        s = st.new_stag_eo(lat, u)
+        x = jax.random.normal(ks[-1], (lat.nc,) + dims[:-1]
+                              + (dims[-1] // 2,), jnp.float32).astype(dtype)
+        x = x / jnp.sqrt(linalg.norm2(x)).astype(dtype)
+        return s.g_e, s.g_o, x
+
+    @jax.jit
+    def chain(ge, go, v):
+        """iters dependent d2ee applications; returns a real scalar."""
+        so = st.StaggeredEO(lat, ge, go)
+
+        def body(v, _):
+            w = st.d2ee(so, v, mass)
+            w = w / jnp.sqrt(linalg.norm2(w)).astype(w.dtype)
+            return w, None
+
+        v, _ = jax.lax.scan(body, v, None, length=iters)
+        return jnp.real(linalg.norm2(v)).astype(jnp.float32)
+
+    ge, go, x = setup(jax.random.PRNGKey(2024))
+    float(chain(ge, go, x))          # compile + warm
+    t0 = time.perf_counter()
+    float(chain(ge, go, x))          # scalar fetch = hard sync
+    t_total = time.perf_counter() - t0
+    t = t_total / (iters * napp)     # per Dslash application
+
+    sites_out = lat.volume // 2
+    flops = st.dslash_flops_per_site(lat.nd, lat.nc) * sites_out
+    gflops = flops / t / 1e9
+
+    # roofline: bytes per output site in complex64 --
+    # 8 link matrices (72 B) + 8 neighbor spinors (24 B) + 1 write (24 B)
+    bytes_per_site = 8 * 72 + 8 * 24 + 24
+    bw = detect_hbm_bw_gbs(dev)
+    roofline_gflops = bw * flops / (bytes_per_site * sites_out)
+    frac = gflops / roofline_gflops
+    gbs = bytes_per_site * sites_out / t / 1e9
+
+    print(f"# device={dev.device_kind} dims={dims} "
+          f"Dslash: {t*1e3:.3f} ms/app, {gflops:.1f} GFLOP/s (model), "
+          f"{gbs:.0f} GB/s moved, roofline {roofline_gflops:.0f} GFLOP/s "
+          f"@ {bw:.0f} GB/s -> {100*frac:.1f}% of roofline",
+          file=sys.stderr)
+
+    # --- CG solve (secondary, stderr) -------------------------------------
+    try:
+        @jax.jit
+        def cg_run(ge, go, be):
+            so = st.StaggeredEO(lat, ge, go)
+            xe, stats = stag_solve.solve_ee(
+                so, be, mass, SolverParams(r2req=1e-12, maxits=500,
+                                           restarts=2))
+            return (jnp.real(stats.r2).astype(jnp.float32),
+                    stats.iterations.astype(jnp.float32))
+
+        r2, its = cg_run(ge, go, x)
+        float(r2)
+        t0 = time.perf_counter()
+        r2, its = cg_run(ge, go, x)
+        r2v = float(r2)
+        t_cg = time.perf_counter() - t0
+        print(f"# CG {dims} m={mass}: {t_cg:.3f} s, its={int(float(its))}, "
+              f"rel r2={r2v:.3e}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# CG bench skipped: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "staggered_eo_dslash_32c4_gflops_per_chip",
+        "value": round(gflops, 2),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(frac, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

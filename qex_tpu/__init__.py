@@ -8,6 +8,16 @@ gradient flow, observables, SciDAC-compatible I/O, and XML/JSON-driven
 MCMC applications.  See SURVEY.md for the full blueprint.
 """
 
+import jax as _jax
+
+# Lattice QCD needs true float32 arithmetic: XLA's DEFAULT matmul
+# precision on TPU routes f32 (and thus complex64) contractions through
+# bf16 MXU passes, which destroys SU(3) unitarity (~1e-2 relative
+# error).  Full-f32 is the correct default for physics; kernels that
+# deliberately want bf16 links (mixed-precision experiments) request it
+# explicitly per-op.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from .lattice import Lattice
 
 __version__ = "0.1.0"

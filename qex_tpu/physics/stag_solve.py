@@ -1,0 +1,93 @@
+"""Staggered solve drivers.
+
+TPU-native replacement for QEX's src/physics/stagSolve.nim (even-odd
+reduction ``solveEO/solveEE/solveOO`` :17-140, outer defect-correction
+driver ``solve`` :224-296, multi-mass ``solveXX`` :296-460).
+
+The full operator is D(m) = m + Dslash with anti-hermitian Dslash, so in
+even/odd block form
+
+    [ m     D_eo ] [x_e]   [b_e]
+    [ D_oe  m    ] [x_o] = [b_o],      D_eo^dag = -D_oe.
+
+Eliminating x_o gives the hermitian positive-definite normal system on
+even sites
+
+    (m^2 - D_eo D_oe) x_e = m b_e - D_eo b_o,
+
+solved by CG (qex_tpu.solvers.cg), then x_o = (b_o - D_oe x_e)/m.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import eo, linalg
+from ..solvers import cg
+from ..solvers.base import SolverParams, SolverStats
+from . import staggered as st
+
+
+def solve_ee(s: st.StaggeredEO, b_e: jax.Array, m: float,
+             params: SolverParams = SolverParams()
+             ) -> tuple[jax.Array, SolverStats]:
+    """Solve (m^2 - D_eo D_oe) x_e = b_e on even sites (QEX solveEE)."""
+    op = partial(st.d2ee, s, m=m)
+    return cg.cg_solve_restarted(op, b_e, r2req=params.r2req,
+                                 maxits=params.maxits,
+                                 restarts=params.restarts)
+
+
+def solve_eo(s: st.StaggeredEO, b_e: jax.Array, b_o: jax.Array, m: float,
+             params: SolverParams = SolverParams()
+             ) -> tuple[jax.Array, jax.Array, SolverStats]:
+    """Solve D(m) x = b given packed rhs; returns (x_e, x_o, stats).
+
+    QEX parity: stagSolve ``solveEO`` :17-140 + outer restart driver
+    :224-296 (the restart lives inside cg_solve_restarted).
+    """
+    rhs = m * b_e - st.dslash_eo(s, b_o, parity_out=0)
+    x_e, stats = solve_ee(s, rhs, m, params)
+    x_o = st.reconstruct_odd(s, x_e, b_o, m)
+    return x_e, x_o, stats
+
+
+def solve(s: st.StaggeredEO, b: jax.Array, m: float,
+          params: SolverParams = SolverParams()
+          ) -> tuple[jax.Array, SolverStats]:
+    """Solve D(m) x = b for a full-lattice rhs ``b`` (shape (nc, *dims)).
+
+    Packs to even/odd, runs the eo-reduced CG, unpacks the solution.
+    """
+    nd = s.lat.nd
+    b_e, b_o = eo.pack(b, nd)
+    x_e, x_o, stats = solve_eo(s, b_e, b_o, m, params)
+    return eo.unpack(x_e, x_o, nd), stats
+
+
+def solve_multi(s: st.StaggeredEO, b_e: jax.Array, masses: list[float],
+                params: SolverParams = SolverParams()
+                ) -> tuple[list[jax.Array], SolverStats]:
+    """Multi-mass even-site solve: (m_i^2 - D_eo D_oe) x_i = b_e for all i.
+
+    QEX parity: stagSolve ``solveXX``/``solve(seq)`` :296-460 backed by
+    multishift CG (solvers/cgm.nim) -- one Krylov space, all masses.
+    """
+    from ..solvers import cgm
+
+    base = partial(st.d2dd, s, parity=0)  # -D_eo D_oe (shift-free part)
+    shifts = [m * m for m in masses]
+    xs, stats = cgm.cg_multishift(base, b_e, shifts, r2req=params.r2req,
+                                  maxits=params.maxits)
+    return xs, stats
+
+
+def cg_flops(lat, nd: int, nc: int, iters) -> jax.Array:
+    """QEX's eo-CG flop model (stagSolve.nim:33-38):
+    (nd*4*72 + 60) * nEven * iters for nc=3."""
+    n_even = lat.volume // 2
+    per_site = nd * 4 * 72 + 60 if nc == 3 else nd * 4 * 8 * nc * nc + 20 * nc
+    return per_site * n_even * iters

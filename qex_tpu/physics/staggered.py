@@ -181,6 +181,18 @@ def d2ee(s: StaggeredEO, x_e: jax.Array, m: float) -> jax.Array:
     return (m * m) * x_e - y
 
 
+def d2dd(s: StaggeredEO, x: jax.Array, parity: int = 0) -> jax.Array:
+    """Mass-free normal operator A x = -D_po,ps D_ps,po x on ``parity``.
+
+    Positive semi-definite (D_eo^dag = -D_oe); the multishift-CG base
+    operator: (A + m^2) x = d2ee(x, m).  QEX parity: stagD2xx without
+    the mass term (stagD.nim:434-468).
+    """
+    other = 1 - parity
+    t = dslash_eo(s, x, parity_out=other)
+    return -dslash_eo(s, t, parity_out=parity)
+
+
 def reconstruct_odd(s: StaggeredEO, x_e: jax.Array, b_o: jax.Array,
                     m: float) -> jax.Array:
     """Given the even solution of D x = b, reconstruct the odd part:
@@ -192,11 +204,11 @@ def reconstruct_odd(s: StaggeredEO, x_e: jax.Array, b_o: jax.Array,
 
 
 def dslash_flops_per_site(nd: int = 4, nc: int = 3) -> int:
-    """QEX's Dslash flop model (stagD.nim:393): nd*(72+66)+18 = 594 for
-    nd=4, nc=3.  Generalized: per direction one complex matvec
-    (8*nc*nc real flops) plus accumulate; 594/site is what bench.py
+    """QEX's Dslash flop model (stagD.nim:393): 18 + nd*(72+66+6) = 594
+    for nd=4, nc=3.  Generalized: per direction one complex matvec
+    (8*nc*nc real flops) plus accumulates; 594/site is what bench.py
     reports GFLOP/s against so numbers are comparable to the reference's
     self-instrumentation."""
     if nc == 3:
-        return nd * (72 + 66) + 18
-    return nd * (8 * nc * nc + 8 * nc) + 6 * nc
+        return 18 + nd * (72 + 66 + 6)
+    return 6 * nc + nd * (8 * nc * nc + 8 * nc + 2 * nc)

@@ -60,7 +60,8 @@ def cg_solve(op: Callable[[jax.Array], jax.Array], b: jax.Array,
         p = r + beta.astype(p.dtype) * p
         return x, r, p, r2new, k + 1
 
-    x, r, p, r2, k = jax.lax.while_loop(cond, body, (x0, r, p, r2, 0))
+    x, r, p, r2, k = jax.lax.while_loop(
+        cond, body, (x0, r, p, r2, jnp.zeros((), jnp.int32)))
     return x, SolverStats(iterations=k, r2=r2 / b2)
 
 
@@ -145,5 +146,5 @@ def cg_solve_precon(op, b, precon, *, r2req: float = 1e-12,
         return x, r, p, z, rznew, linalg.norm2(r), k + 1
 
     x, r, p, z, rz, r2, k = jax.lax.while_loop(
-        cond, body, (x, r, p, z, rz, r2, 0))
+        cond, body, (x, r, p, z, rz, r2, jnp.zeros((), jnp.int32)))
     return x, SolverStats(iterations=k, r2=r2 / b2)
