@@ -1,0 +1,204 @@
+"""Gauge action family: plaquette + rectangle + parallelogram + adjoint.
+
+TPU-native replacement for QEX's src/gauge/gaugeAction.nim:
+``GaugeActionCoeffs`` (:11-15), coefficient presets (:22-50), actions
+``gaugeAction1/2`` (:61-143, :352-403), adjoint-plaquette ``actionA``
+(:614-682), and the analytic forces ``gaugeForce/gaugeForce2/forceA``
+(:334, :473, :684).
+
+Normalization parity with QEX ``gaugeAction2`` (the convention the HMC
+apps use):
+
+    S(U) = -(1/nc) * [ c.plaq * sum_planes retr(P)
+                     + c.rect * sum retr(R1)+retr(R2)
+                     + c.pgm  * sum_{sg<nu<mu} sum_{8 orientations} retr(G) ]
+
+and ``actionA`` parity for plaq+adjoint:
+
+    S_A(U) = c.plaq * (a0 - sum retr(P)/nc)
+           + c.adjplaq * (a0 - sum |tr P|^2 / nc^2),
+    a0 = nd(nd-1)/2 * volume.
+
+Forces are obtained by **automatic differentiation** + traceless
+anti-hermitian projection instead of QEX's hand-built staple sums
+(SURVEY.md §7 design stance): for real S and JAX's gradient convention
+``dS = Re tr(G^T dU)``, the molecular-dynamics force entering
+``pdot = -force`` is  ``force = -projTAH(U_mu(x) G_mu(x)^T)`` per link.
+Validated against finite differences and exact Hamiltonian-conservation
+scaling in tests/test_gauge_action.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..lattice import Lattice
+from ..ops import group, linalg
+from ..ops.shifts import transport
+
+
+# --- coefficients (QEX gaugeAction.nim:11-50 parity) ------------------------
+
+C1_SYMANZIK = -1.0 / 12.0  # tree-level Luscher-Weisz
+C1_IWASAKI = -0.331
+C1_DBW2 = -1.4088
+
+
+@dataclasses.dataclass(frozen=True)
+class GaugeActionCoeffs:
+    """Action coefficients (QEX ``GaugeActionCoeffs``)."""
+
+    plaq: float = 0.0
+    rect: float = 0.0
+    pgm: float = 0.0
+    adjplaq: float = 0.0
+
+    def __mul__(self, x: float) -> "GaugeActionCoeffs":
+        return GaugeActionCoeffs(self.plaq * x, self.rect * x,
+                                 self.pgm * x, self.adjplaq * x)
+
+    __rmul__ = __mul__
+
+
+def wilson(beta: float) -> GaugeActionCoeffs:
+    return GaugeActionCoeffs(plaq=beta)
+
+
+def gauge_act_rect(beta: float, c1: float = C1_SYMANZIK) -> GaugeActionCoeffs:
+    """QEX ``gaugeActRect`` (gaugeAction.nim:44-46)."""
+    return GaugeActionCoeffs(plaq=(1.0 - 8.0 * c1) * beta, rect=c1 * beta)
+
+
+def symanzik(beta: float) -> GaugeActionCoeffs:
+    return gauge_act_rect(beta, C1_SYMANZIK)
+
+
+def iwasaki(beta: float) -> GaugeActionCoeffs:
+    return gauge_act_rect(beta, C1_IWASAKI)
+
+
+def dbw2(beta: float) -> GaugeActionCoeffs:
+    return gauge_act_rect(beta, C1_DBW2)
+
+
+def adjoint_action(beta: float, adj_ratio: float) -> GaugeActionCoeffs:
+    """Fundamental + adjoint plaquette mix (stagg_pv_hmc XML 'adjFac')."""
+    return GaugeActionCoeffs(plaq=beta, adjplaq=beta * adj_ratio)
+
+
+# --- actions ----------------------------------------------------------------
+
+def _t(u, mu, nd):
+    """Forward transporter T_mu f = U_mu(x) f(x+mu)."""
+    return lambda f: transport(u[mu], f, mu, +1, nd)
+
+
+def _td(u, mu, nd):
+    """Backward transporter Td_mu f = U_mu(x-mu)^dag f(x-mu)."""
+    return lambda f: transport(u[mu], f, mu, -1, nd)
+
+
+def gauge_action(c: GaugeActionCoeffs, lat: Lattice, u: jax.Array
+                 ) -> jax.Array:
+    """Plaq/rect/pgm action, QEX ``gaugeAction2`` parity
+    (gaugeAction.nim:352-403: the redot-of-transports formulation).
+    """
+    nd, nc = lat.nd, lat.nc
+    pl = 0.0
+    rt = 0.0
+    pg = 0.0
+    T = [_t(u, mu, nd) for mu in range(nd)]
+    Td = [_td(u, mu, nd) for mu in range(nd)]
+    for mu in range(1, nd):
+        for nu in range(mu):
+            pl = pl + linalg.redot(T[mu](u[nu]), T[nu](u[mu]))
+            if c.rect != 0.0:
+                rt = rt + linalg.redot(T[mu](T[nu](u[nu])),
+                                       T[nu](T[nu](u[mu])))
+                rt = rt + linalg.redot(T[mu](T[mu](u[nu])),
+                                       T[nu](T[mu](u[mu])))
+            if c.pgm != 0.0:
+                for sg in range(nu):
+                    pg = pg + linalg.redot(T[mu](T[nu](u[sg])),
+                                           T[sg](T[nu](u[mu])))
+                    pg = pg + linalg.redot(T[mu](T[sg](u[nu])),
+                                           T[nu](T[sg](u[mu])))
+                    pg = pg + linalg.redot(T[nu](T[mu](u[sg])),
+                                           T[sg](T[mu](u[nu])))
+                    pg = pg + linalg.redot(T[nu](T[sg](u[mu])),
+                                           T[mu](T[sg](u[nu])))
+                    pg = pg + linalg.redot(T[sg](T[mu](u[nu])),
+                                           T[nu](T[mu](u[sg])))
+                    pg = pg + linalg.redot(T[sg](T[nu](u[mu])),
+                                           T[mu](T[nu](u[sg])))
+                    pg = pg + linalg.redot(T[mu](Td[nu](u[sg])),
+                                           T[sg](Td[nu](u[mu])))
+                    pg = pg + linalg.redot(T[mu](Td[sg](u[nu])),
+                                           T[nu](Td[sg](u[mu])))
+    return (-1.0 / nc) * (c.plaq * pl + c.rect * rt + c.pgm * pg)
+
+
+def action_a(c: GaugeActionCoeffs, lat: Lattice, u: jax.Array) -> jax.Array:
+    """Plaquette + adjoint-plaquette action, QEX ``actionA`` parity
+    (gaugeAction.nim:614-682)."""
+    nd, nc = lat.nd, lat.nc
+    pl = 0.0
+    ad = 0.0
+    T = [_t(u, mu, nd) for mu in range(nd)]
+    for mu in range(1, nd):
+        for nu in range(mu):
+            a = T[mu](u[nu])        # U_mu(x) U_nu(x+mu)
+            b = T[nu](u[mu])        # U_nu(x) U_mu(x+nu)
+            trp = linalg.trace(linalg.mul_an(a, b))  # tr P^dag per site
+            pl = pl + jnp.sum(jnp.real(trp))
+            ad = ad + jnp.sum(jnp.real(trp) ** 2 + jnp.imag(trp) ** 2)
+    a0 = 0.5 * nd * (nd - 1) * lat.volume
+    return (c.plaq * (a0 - pl / nc)
+            + c.adjplaq * (a0 - ad / (nc * nc)))
+
+
+def full_action(c: GaugeActionCoeffs, lat: Lattice, u: jax.Array
+                ) -> jax.Array:
+    """Dispatch: actionA when adjplaq is used, gauge_action otherwise
+    (mirrors QEX's app-level switch, stagg_pv_hmc/staghmc_spv.nim)."""
+    if c.adjplaq != 0.0:
+        s = action_a(GaugeActionCoeffs(plaq=c.plaq, adjplaq=c.adjplaq),
+                     lat, u)
+        if c.rect != 0.0 or c.pgm != 0.0:
+            s = s + gauge_action(
+                GaugeActionCoeffs(rect=c.rect, pgm=c.pgm), lat, u)
+        return s
+    return gauge_action(c, lat, u)
+
+
+# --- forces via AD ----------------------------------------------------------
+
+def force_from_action(action_fn: Callable[[jax.Array], jax.Array],
+                      u: jax.Array) -> jax.Array:
+    """MD force field F with pdot = -F, from any real action S(u).
+
+    JAX's complex gradient G of real S satisfies dS = Re tr(G^T dU)
+    summed over links; along dU = P U (P traceless anti-hermitian) this
+    gives dS/dt = retr(projTAH(U G^T) P), so
+
+        F_mu(x) = -projTAH( U_mu(x) G_mu(x)^T )
+
+    makes H = K + S exactly conserved by the continuous-time EOM
+    (K = -1/2 sum retr(p^2), Udot = p U, pdot = -F).  This replaces
+    QEX's hand-derived staple forces (gaugeAction.nim:148-333).
+    """
+    g = jax.grad(action_fn)(u)
+    # per-direction (U G^T)_ac = sum_b U_ab G_cb; leading axis is mu
+    m = jnp.einsum("dab...,dcb...->dac...", u, g)
+    return -jax.vmap(group.tah)(m)
+
+
+def gauge_force(c: GaugeActionCoeffs, lat: Lattice, u: jax.Array
+                ) -> jax.Array:
+    """Force of the full gauge action (QEX gaugeForce/forceA parity)."""
+    return force_from_action(partial(full_action, c, lat), u)

@@ -1,0 +1,191 @@
+"""Differentiable link smearing: nHYP and stout.
+
+TPU-native replacement for QEX's src/gauge/hypsmear.nim (3-level nHYP
+with U-projection, ``smear`` :260-274 and the hand-built force closure
+:49-251) and src/gauge/stoutsmear.nim (stout, its exact inverse :36,
+force ``smearDeriv`` :148).
+
+Design stance (SURVEY.md §7): smearing is an ordinary differentiable
+function of the gauge field.  HMC forces are obtained with ``jax.grad``
+through ``action(smear(u))`` -- the chain rule through the 3 nHYP levels
+and the polar projection (QEX's hardest hand-derived code,
+``projectUDeriv``/``diffProjectTAH``) is automatic, with
+:func:`qex_tpu.ops.linalg.project_u` built from differentiable
+Newton-Schulz iterations.
+
+Level structure and conventions follow hypsmear.nim:44-46 exactly
+(QEX's alpha1 is the INNERMOST level; the common BSM choice is
+alpha = (0.4, 0.5, 0.5), staghmc_sh.nim:188):
+
+    L1[mu][nu]  = P((1-a1) U[mu] + (a1/2)   SS_nu(U, U[mu]))
+    L2[mu][nu]  = P((1-a2) U[mu] + (a2/4)   sum_{a,b comp} SS_a(L1[a][b], L1[mu][b]))
+    V[mu]       = P((1-a3) U[mu] + (a3/6)   sum_{nu!=mu} SS_nu(L2[nu][mu], L2[mu][nu]))
+
+where SS_nu(A, B) is the symmetric (forward+backward) staple of middle
+link B (direction mu) with side links A (direction nu), and P is the
+polar projection X (X^dag X)^{-1/2} onto U(3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..lattice import Lattice
+from ..ops import group, linalg
+from ..ops.shifts import shift
+
+
+def sym_staple(side: jax.Array, mid: jax.Array, nu: int, mu: int,
+               nd: int) -> jax.Array:
+    """Symmetric staple of ``mid`` (a direction-mu link field) with side
+    links ``side`` (a direction-nu link field):
+
+        S(x) = side(x) mid(x+nu) side(x+mu)^dag
+             + side(x-nu)^dag mid(x-nu) side(x-nu+mu)
+
+    QEX parity: ``symStaple`` (src/gauge/smearutil.nim:3-21).
+    """
+    s1 = shift(side, mu, +1, nd)          # side(x+mu)
+    s2 = shift(mid, nu, +1, nd)           # mid(x+nu)
+    fwd = linalg.mul_na(linalg.mul(side, s2), s1)
+    t = linalg.mul(linalg.mul_an(side, mid), s1)
+    bwd = shift(t, nu, -1, nd)
+    return fwd + bwd
+
+
+@dataclasses.dataclass(frozen=True)
+class HypCoefs:
+    """nHYP coefficients; QEX ``HypCoefs`` (hypsmear.nim:16-19).
+    alpha1 is the innermost level, matching QEX's convention
+    (the 'standard BSM' choice is (0.4, 0.5, 0.5))."""
+
+    alpha1: float = 0.4
+    alpha2: float = 0.5
+    alpha3: float = 0.5
+
+
+def nhyp_smear(c: HypCoefs, lat: Lattice, u: jax.Array,
+               proj_iters: int = 14) -> jax.Array:
+    """3-level nHYP smearing (hypsmear.nim:44-46, smear :260-274).
+
+    Fully differentiable; returns the smeared links V with the same
+    shape as ``u``.
+    """
+    nd = lat.nd
+    if nd != 4:
+        raise ValueError("nHYP smearing requires nd=4")
+    proj = partial(linalg.project_u, iters=proj_iters)
+
+    # level 1: L1[mu][nu] -- staple only in direction nu
+    l1 = {}
+    for mu in range(nd):
+        for nu in range(nd):
+            if nu == mu:
+                continue
+            x = ((1.0 - c.alpha1) * u[mu]
+                 + 0.5 * c.alpha1 * sym_staple(u[nu], u[mu], nu, mu, nd))
+            l1[(mu, nu)] = proj(x)
+
+    # level 2: L2[mu][nu] -- staples in the two directions {a, b} that
+    # complement {mu, nu}; side links are level-1 fields decorated with
+    # the other complement direction.
+    l2 = {}
+    for mu in range(nd):
+        for nu in range(nd):
+            if nu == mu:
+                continue
+            comp = [d for d in range(nd) if d not in (mu, nu)]
+            acc = (1.0 - c.alpha2) * u[mu]
+            for a in comp:
+                b = comp[0] if comp[1] == a else comp[1]
+                acc = acc + 0.25 * c.alpha2 * sym_staple(
+                    l1[(a, b)], l1[(mu, b)], a, mu, nd)
+            l2[(mu, nu)] = proj(acc)
+
+    # level 3: V[mu] -- staples in all nu != mu with level-2 side links
+    out = []
+    for mu in range(nd):
+        acc = (1.0 - c.alpha3) * u[mu]
+        for nu in range(nd):
+            if nu == mu:
+                continue
+            acc = acc + (c.alpha3 / 6.0) * sym_staple(
+                l2[(nu, mu)], l2[(mu, nu)], nu, mu, nd)
+        out.append(proj(acc))
+    return jnp.stack(out)
+
+
+def smeared_force(c: HypCoefs, lat: Lattice, u: jax.Array, chain: jax.Array
+                  ) -> jax.Array:
+    """Backpropagate a chain dS/dV (complex gradient in JAX's
+    ``dS = Re tr(G^T dV)`` convention) through the smearing to dS/dU.
+
+    QEX parity: the ``smearedForce`` closure returned by
+    ``smearGetForce`` (hypsmear.nim:49-251) -- here one ``jax.vjp``.
+    """
+    _, vjp = jax.vjp(lambda uu: nhyp_smear(c, lat, uu), u)
+    (g,) = vjp(chain)
+    return g
+
+
+# --- stout ------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class StoutCoefs:
+    """Isotropic stout parameter rho (stoutsmear.nim)."""
+
+    rho: float = 0.1
+
+
+def stout_smear(c: StoutCoefs, lat: Lattice, u: jax.Array) -> jax.Array:
+    """One stout step: U' = exp(projTAH(C U^dag)) U with
+    C_mu = rho * sum_{nu != mu} SS_nu(U, U_mu)  (Morningstar & Peardon,
+    hep-lat/0311018; QEX stoutsmear.nim smear).
+    """
+    nd = lat.nd
+    out = []
+    for mu in range(nd):
+        cmu = 0.0
+        for nu in range(nd):
+            if nu == mu:
+                continue
+            cmu = cmu + sym_staple(u[nu], u[mu], nu, mu, nd)
+        omega = linalg.mul_na(c.rho * cmu, u[mu])
+        z = group.tah(omega)
+        out.append(linalg.mul(linalg.expm(z), u[mu]))
+    return jnp.stack(out)
+
+
+def stout_smear_inv(c: StoutCoefs, lat: Lattice, v: jax.Array,
+                    iters: int = 40) -> jax.Array:
+    """Exact inverse of one stout step by fixed-point iteration:
+    U_{k+1} = exp(-Z(U_k)) V, U_0 = V.
+
+    QEX parity: stoutsmear.nim:36 (basis of field-transformation HMC,
+    src/nhmc/).  Converges geometrically for rho within the smoothing
+    regime.
+    """
+    nd = lat.nd
+
+    def z_of(u):
+        zs = []
+        for mu in range(nd):
+            cmu = 0.0
+            for nu in range(nd):
+                if nu == mu:
+                    continue
+                cmu = cmu + sym_staple(u[nu], u[mu], nu, mu, nd)
+            omega = linalg.mul_na(c.rho * cmu, u[mu])
+            zs.append(group.tah(omega))
+        return jnp.stack(zs)
+
+    def body(i, u):
+        z = z_of(u)
+        ez = jax.vmap(linalg.expm)(-z)
+        return jnp.einsum("dab...,dbc...->dac...", ez, v)
+
+    return jax.lax.fori_loop(0, iters, body, v)

@@ -1,0 +1,100 @@
+"""HMC trajectory driver: momentum refresh, MD, Metropolis.
+
+TPU-native replacement for QEX's src/hmc/metropolis.nim
+(``MetropolisRoot`` generate/start/finish/accept/reject state machine),
+src/hmc/hmc.nim:8-17 (``checkReverse``), and the pure-gauge HMC loop of
+src/examples/puregaugehmc.nim.
+
+Everything is functional: one jitted ``hmc_step`` maps
+(key, u) -> (u', diagnostics); the Markov chain is a host-side loop over
+steps (matching the reference's per-trajectory host loop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import group, linalg
+from .integrators import Integrator, integrate
+
+
+class HMCState(NamedTuple):
+    """Per-trajectory diagnostics (QEX MEAS* lines analog)."""
+
+    accepted: jax.Array   # bool
+    dH: jax.Array         # H_new - H_old
+    h_old: jax.Array
+    h_new: jax.Array
+
+
+def gauge_update_u(u: jax.Array, p: jax.Array, eps: float) -> jax.Array:
+    """U <- exp(eps p) U per link (QEX mdt, staghmc_spv.nim:873-888)."""
+    from ..ops import linalg as la
+    ex = jax.vmap(lambda m: la.expm(m))(eps * p)
+    return jnp.einsum("dab...,dbc...->dac...", ex, u)
+
+
+def kinetic_energy(p: jax.Array) -> jax.Array:
+    """K = -1/2 sum_mu retr(p^2) = +1/2 |p|^2 for TAH momenta."""
+    return 0.5 * linalg.norm2(p)
+
+
+def hmc_step(key: jax.Array, u: jax.Array,
+             action_fn: Callable[[jax.Array], jax.Array],
+             force_fn: Callable[[jax.Array], jax.Array],
+             scheme: Integrator, tau: float, nsteps: int,
+             always_accept: bool = False,
+             ) -> tuple[jax.Array, HMCState]:
+    """One HMC trajectory: refresh p, integrate, Metropolis.
+
+    ``always_accept`` disables the accept test (QEX's warmup
+    ``no_metropolis_until`` behavior, staghmc_spv.nim).
+    jit-safe with static (scheme, tau, nsteps, action_fn, force_fn).
+    """
+    nd, nc = u.shape[0], u.shape[1]
+    kp, ka = jax.random.split(key)
+    p = jax.vmap(lambda k: group.random_tah(
+        k, u.shape[3:], nc, u.dtype))(jax.random.split(kp, nd))
+
+    h_old = kinetic_energy(p) + action_fn(u)
+    u_new, p_new = integrate(scheme, u, p, tau, nsteps, force_fn,
+                             gauge_update_u)
+    h_new = kinetic_energy(p_new) + action_fn(u_new)
+    dH = h_new - h_old
+
+    if always_accept:
+        acc = jnp.array(True)
+    else:
+        r = jax.random.uniform(ka, (), jnp.float32)
+        acc = jnp.log(r) < -dH
+    u_out = jnp.where(acc, u_new, u)
+    return u_out, HMCState(accepted=acc, dH=dH, h_old=h_old, h_new=h_new)
+
+
+def check_reverse(u: jax.Array, p: jax.Array,
+                  action_fn: Callable[[jax.Array], jax.Array],
+                  force_fn: Callable[[jax.Array], jax.Array],
+                  scheme: Integrator, tau: float, nsteps: int
+                  ) -> dict:
+    """Reversibility test: integrate, flip p, integrate back; report
+    |H_back - H_0| and gauge-field deviation.
+
+    QEX parity: ``checkReverse`` (hmc/hmc.nim:8-17; staghmc_spv
+    rev_check :1091).
+    """
+    h0 = kinetic_energy(p) + action_fn(u)
+    u1, p1 = integrate(scheme, u, p, tau, nsteps, force_fn, gauge_update_u)
+    h1 = kinetic_energy(p1) + action_fn(u1)
+    u2, p2 = integrate(scheme, u1, -p1, tau, nsteps, force_fn,
+                       gauge_update_u)
+    h2 = kinetic_energy(p2) + action_fn(u2)
+    return {
+        "dH_fwd": h1 - h0,
+        "dH_rev": h2 - h0,
+        "u_dev2": linalg.norm2(u2 - u) / linalg.norm2(u),
+        "p_dev2": linalg.norm2(p2 + p) / linalg.norm2(p),
+    }

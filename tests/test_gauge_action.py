@@ -1,0 +1,195 @@
+"""Gauge action / force / integrator / flow tests.
+
+Oracles mirror the reference's strategy (SURVEY.md §4): analytic values
+on unit gauge, gauge invariance, finite-difference force checks (QEX
+gaugeAction.nim:763-860 numeric-diff pattern), Hamiltonian-conservation
+order scaling, and exact reversibility (hmc/hmc.nim:8).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qex_tpu.lattice import Lattice
+from qex_tpu.gauge import action as ga
+from qex_tpu.gauge import flow as gf
+from qex_tpu.gauge import loops
+from qex_tpu.hmc import hmc, integrators
+from qex_tpu.ops import group, linalg
+from qex_tpu.ops.shifts import shift
+
+DT = jnp.complex128
+
+
+@pytest.fixture
+def lat():
+    return Lattice((4, 4, 4, 4))
+
+
+@pytest.fixture
+def u(lat):
+    key = jax.random.PRNGKey(11)
+    return jnp.stack([group.random_su(jax.random.fold_in(key, i), lat.dims,
+                                      lat.nc, DT) for i in range(lat.nd)])
+
+
+def rand_tah_gauge(key, lat):
+    return jax.vmap(lambda k: group.random_tah(k, lat.dims, lat.nc, DT))(
+        jax.random.split(key, lat.nd))
+
+
+def test_wilson_action_unit_gauge(lat):
+    beta = 5.5
+    uu = group.unit_gauge(lat, DT)
+    s = ga.gauge_action(ga.wilson(beta), lat, uu)
+    # unit links: retr P = nc per plane-site; S = -(beta/nc)*6V*nc
+    expect = -beta * 6 * lat.volume
+    assert abs(float(s) - expect) < 1e-9 * abs(expect)
+
+
+def test_action_gauge_invariance(lat, u):
+    """S(U^g) == S(U) for all terms (plaq, rect, pgm, adjplaq)."""
+    key = jax.random.PRNGKey(5)
+    g = group.random_su(key, lat.dims, lat.nc, DT)
+    ug = jnp.stack([
+        linalg.mul(linalg.mul(g, u[mu]),
+                   linalg.adj(shift(g, mu, +1, lat.nd)))
+        for mu in range(lat.nd)])
+    c = ga.GaugeActionCoeffs(plaq=1.3, rect=-0.25, pgm=0.1)
+    s0 = ga.gauge_action(c, lat, u)
+    s1 = ga.gauge_action(c, lat, ug)
+    assert abs(float(s0 - s1)) < 1e-9 * abs(float(s0))
+    ca = ga.GaugeActionCoeffs(plaq=1.0, adjplaq=0.7)
+    a0 = ga.action_a(ca, lat, u)
+    a1 = ga.action_a(ca, lat, ug)
+    assert abs(float(a0 - a1)) < 1e-9 * max(1.0, abs(float(a0)))
+
+
+def test_action_a_consistency(lat, u):
+    """actionA with adjplaq=0 differs from gauge_action by the constant
+    c.plaq * a0 (QEX normalization parity, gaugeAction.nim:680)."""
+    beta = 2.1
+    s1 = ga.gauge_action(ga.wilson(beta), lat, u)
+    s2 = ga.action_a(ga.GaugeActionCoeffs(plaq=beta), lat, u)
+    a0 = 0.5 * lat.nd * (lat.nd - 1) * lat.volume
+    assert abs(float(s2) - (beta * a0 + float(s1))) < 1e-8 * abs(float(s2))
+
+
+@pytest.mark.parametrize("coeffs", [
+    ga.GaugeActionCoeffs(plaq=5.5),
+    ga.GaugeActionCoeffs(plaq=1.0, rect=-0.33),
+    ga.GaugeActionCoeffs(plaq=1.0, rect=-0.1, pgm=0.05),
+    ga.GaugeActionCoeffs(plaq=1.0, adjplaq=0.6),
+])
+def test_force_vs_finite_difference(lat, u, coeffs):
+    """dS/dt along U(t)=exp(t P)U at t=0 equals sum retr(-F P)."""
+    from functools import partial
+    act = partial(ga.full_action, coeffs, lat)
+    f = ga.gauge_force(coeffs, lat, u)
+    key = jax.random.PRNGKey(17)
+    p = rand_tah_gauge(key, lat)
+
+    def s_at(t):
+        ex = jax.vmap(linalg.expm)(t * p)
+        ut = jnp.einsum("dab...,dbc...->dac...", ex, u)
+        return float(act(ut))
+
+    h = 1e-5
+    num = (s_at(h) - s_at(-h)) / (2 * h)
+    ana = float(-jnp.sum(jnp.real(jnp.einsum("dab...,dba...->", f, p))))
+    assert abs(num - ana) < 1e-6 * max(1.0, abs(num)), (num, ana)
+
+
+def test_hmc_energy_conservation_order(lat, u):
+    """Leapfrog dH ~ O(dt^2): halving dt cuts |dH| ~4x; 2MN smaller
+    than LF at same cost; reversibility exact to roundoff."""
+    from functools import partial
+    beta = 5.0
+    c = ga.wilson(beta)
+    act = partial(ga.full_action, c, lat)
+    frc = partial(ga.gauge_force, c, lat)
+    key = jax.random.PRNGKey(23)
+    p = rand_tah_gauge(key, lat)
+    h0 = float(hmc.kinetic_energy(p) + act(u))
+
+    def dh(scheme, nsteps):
+        u1, p1 = integrators.integrate(scheme, u, p, 1.0, nsteps, frc,
+                                       hmc.gauge_update_u)
+        return float(hmc.kinetic_energy(p1) + act(u1)) - h0
+
+    lf = integrators.get_integrator("LF")
+    d8, d16 = dh(lf, 8), dh(lf, 16)
+    assert abs(d16) < abs(d8) / 2.5, (d8, d16)
+    mn = integrators.get_integrator("2MN")
+    assert abs(dh(mn, 8)) < abs(d8)
+    # 4th-order scheme: dt halving cuts |dH| ~16x (allow slack)
+    fv = integrators.get_integrator("4MN5FV")
+    d4, d8b = dh(fv, 4), dh(fv, 8)
+    assert abs(d8b) < abs(d4) / 8.0, (d4, d8b)
+
+
+def test_reversibility(lat, u):
+    from functools import partial
+    c = ga.wilson(5.0)
+    act = partial(ga.full_action, c, lat)
+    frc = partial(ga.gauge_force, c, lat)
+    p = rand_tah_gauge(jax.random.PRNGKey(29), lat)
+    rep = hmc.check_reverse(u, p, act, frc, integrators.get_integrator("LF"),
+                            0.5, 10)
+    assert float(rep["u_dev2"]) < 1e-22
+    assert abs(float(rep["dH_rev"])) < 1e-9
+
+
+def test_hmc_step_runs_and_accepts(lat, u):
+    from functools import partial
+    c = ga.wilson(5.0)
+    act = partial(ga.full_action, c, lat)
+    frc = partial(ga.gauge_force, c, lat)
+    step = jax.jit(lambda k, uu: hmc.hmc_step(
+        k, uu, act, frc, integrators.get_integrator("2MN"), 0.5, 20))
+    key = jax.random.PRNGKey(31)
+    uu, st = step(key, u)
+    assert abs(float(st.dH)) < 0.5, float(st.dH)
+    # chain a few steps; plaquette should stay in (-1, 1] and field SU(3)
+    for i in range(2):
+        key = jax.random.fold_in(key, i)
+        uu, st = step(key, uu)
+    dev = group.check_su(uu[0])
+    assert dev["unitarity_dev2_per_site"] < 1e-18
+
+
+def test_flow_smooths_and_descends(lat, u):
+    c = gf.wilson_flow_coeffs(lat.nc)
+    p0 = float(loops.plaquette(lat, u))
+    u1, ms = gf.flow(c, lat, u, eps=0.02, steps=5)
+    pl = np.asarray(ms.plaq)
+    assert pl[0] > p0
+    assert all(np.diff(pl) > 0), pl  # monotone smoothing
+    assert float(ms.t[-1]) == pytest.approx(0.1, rel=1e-6)
+    # t^2 E positive and finite, topo charge finite
+    assert np.all(np.asarray(ms.t2e_clover) > 0)
+
+
+def test_flow_rk_order(lat, u):
+    """RK3 per-step error O(eps^3) -> global error at fixed t O(eps^2):
+    halving eps cuts the deviation ~4x (allow slack)."""
+    c = gf.wilson_flow_coeffs(lat.nc)
+    t_end = 0.08
+    def run(eps):
+        uu, _ = gf.flow(c, lat, u, eps, int(round(t_end / eps)),
+                        measure=False)
+        return uu
+    u_a = run(0.04)
+    u_b = run(0.02)
+    u_c = run(0.01)
+    e_ab = float(linalg.norm2(u_a - u_c))
+    e_bc = float(linalg.norm2(u_b - u_c))
+    assert e_bc < e_ab / 3.0
+
+
+def test_integrator_factory_params():
+    i = integrators.get_integrator("2MN,0.20")
+    assert i.steps[0] == ("V", 0.20)
+    with pytest.raises(ValueError):
+        integrators.get_integrator("nope")
