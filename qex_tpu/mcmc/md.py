@@ -1,0 +1,164 @@
+"""Multi-timescale molecular dynamics scheduler.
+
+TPU-native replacement for QEX's src/mcmc/mcmc/molecularDynamics.nim
+(``trajectory`` :362-409 and ``mdStep`` :300) and the shared-update
+optimization ``mdvAllfga`` of staghmc_spv.nim:947: each action term has
+its OWN step count and integrator; the composite trajectory interleaves
+all momentum kicks against one shared gauge-time axis.
+
+How it works (the MDevolve semantics, compiled statically):
+
+1. Every term expands its integrator pattern over its own step size
+   dt_i = tau / steps_i into kick events at absolute gauge-times
+   (the T coefficients advance time; V coefficients emit kicks).
+2. All events are merged and sorted; U is advanced by exp(dt p) between
+   consecutive event times; kicks at the same time are applied
+   back-to-back (force evaluations of different terms at the same U are
+   batched per unique time -- the ``mdvAllfga`` fusion).
+3. The resulting flat [T-advance | kick...] schedule is unrolled under
+   jit -- a fully static op sequence (SURVEY.md §7 hard part 4).
+
+Force-gradient steps carry their (coeff, xi, dt) so the shifted-force
+trick is applied per kick.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..hmc.integrators import Integrator, get_integrator
+
+
+@dataclasses.dataclass(frozen=True)
+class ActionTerm:
+    """One term of the total action with its own MD timescale.
+
+    action(u, phi) -> real scalar; force(u, phi) -> TAH force field.
+    ``phi`` is this term's (pytree of) pseudofermion fields, or None.
+    heatbath(key, u) -> phi refresh (None for gauge terms).
+    """
+
+    name: str
+    action: Callable[[jax.Array, Any], jax.Array]
+    force: Callable[[jax.Array, Any], jax.Array]
+    steps: int
+    scheme: Integrator | str = "2MN"
+    heatbath: Callable[[jax.Array, jax.Array], Any] | None = None
+
+    def get_scheme(self) -> Integrator:
+        s = self.scheme
+        return get_integrator(s) if isinstance(s, str) else s
+
+
+_EPS = 1e-9
+
+
+def build_schedule(terms: Sequence[ActionTerm], tau: float):
+    """Flatten all terms' integrator patterns into one sorted event list.
+
+    Returns [(dt_advance, [(term_idx, coeff_dt, xi_dt2), ...]), ...]:
+    advance U by dt, then apply the kicks (xi_dt2 nonzero only for
+    force-gradient kicks).  Sum of advances == tau.
+    """
+    events: list[tuple[float, int, float, float]] = []
+    for i, term in enumerate(terms):
+        dt = tau / term.steps
+        scheme = term.get_scheme()
+        t = 0.0
+        for _rep in range(term.steps):
+            for st in scheme.steps:
+                if st[0] == "T":
+                    t += st[1] * dt
+                elif st[0] == "V":
+                    if st[1] != 0.0:
+                        events.append((t, i, st[1] * dt, 0.0))
+                elif st[0] == "FG":
+                    c, xi = st[1], st[2]
+                    if c != 0.0:
+                        events.append((t, i, c * dt, xi * dt * dt))
+                else:  # pragma: no cover
+                    raise ValueError(f"bad step kind {st[0]}")
+        if abs(t - tau) > 1e-6 * max(1.0, abs(tau)):
+            raise ValueError(
+                f"term {term.name}: T coefficients sum to {t/dt} per step")
+    events.sort(key=lambda e: e[0])
+
+    schedule = []
+    t_cur = 0.0
+    k = 0
+    while k < len(events):
+        t_ev = events[k][0]
+        group = []
+        while k < len(events) and events[k][0] <= t_ev + _EPS:
+            _, i, cdt, xidt2 = events[k]
+            # coalesce same-term kicks at the same time
+            for j, (gi, gc, gx) in enumerate(group):
+                if gi == i and gx == 0.0 and xidt2 == 0.0:
+                    group[j] = (gi, gc + cdt, 0.0)
+                    break
+            else:
+                group.append((i, cdt, xidt2))
+            k += 1
+        schedule.append((t_ev - t_cur, group))
+        t_cur = t_ev
+    if tau - t_cur > _EPS:
+        schedule.append((tau - t_cur, []))
+    return schedule
+
+
+def _apply_schedule(schedule, terms, u, p, phis, update_u):
+    for dt, kicks in schedule:
+        if dt > _EPS:
+            u = update_u(u, p, dt)
+        for (i, cdt, xidt2) in kicks:
+            term = terms[i]
+            if xidt2 == 0.0:
+                p = p - cdt * term.force(u, phis[i])
+            else:
+                f1 = term.force(u, phis[i])
+                a = 2.0 * xidt2 / cdt
+                ushift = update_u(u, f1, -a)
+                p = p - cdt * term.force(ushift, phis[i])
+    return u, p
+
+
+def run_trajectory(terms: Sequence[ActionTerm], u0: jax.Array,
+                   p0: jax.Array, phis: Sequence[Any], tau: float,
+                   update_u: Callable[[jax.Array, jax.Array, float],
+                                      jax.Array],
+                   use_scan: bool = True,
+                   ) -> tuple[jax.Array, jax.Array]:
+    """Integrate the composite multi-timescale trajectory.
+
+    QEX parity: molecularDynamics ``trajectory`` / staghmc_spv's
+    MDevolve loop.  Static schedule; jit the caller.
+
+    Compile-size control: the schedule is periodic with period
+    tau / gcd(steps_i), so the trajectory runs as ONE macro period
+    under ``lax.scan`` -- compile cost is 1/g of the unrolled graph.
+    Kicks straddling a period boundary land at the same time and state
+    in consecutive iterations, so repeating the full macro schedule is
+    exact (forces at equal u are CSE'd by XLA).
+    """
+    import math
+    from functools import reduce
+
+    g = reduce(math.gcd, [t.steps for t in terms]) if use_scan else 1
+    if g <= 1:
+        schedule = build_schedule(terms, tau)
+        return _apply_schedule(schedule, terms, u0, p0, phis, update_u)
+
+    sub = [dataclasses.replace(t, steps=t.steps // g) for t in terms]
+    schedule = build_schedule(sub, tau / g)
+
+    def body(carry, _):
+        u, p = carry
+        u, p = _apply_schedule(schedule, sub, u, p, phis, update_u)
+        return (u, p), None
+
+    (u, p), _ = jax.lax.scan(body, (u0, p0), None, length=g)
+    return u, p

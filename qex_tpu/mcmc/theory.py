@@ -1,0 +1,185 @@
+"""Composable lattice field theory: gauge + smeared staggered matter HMC.
+
+TPU-native replacement for QEX's mcmc builder
+(``newLatticeFieldTheory``/``addGaugeAction``/``addMatterAction``,
+src/mcmc/mcmcTypes.nim:924, src/mcmc/actions/latticeAction.nim:65-170)
+and the production staghmc_spv composition (nHYP-smeared staggered
+fermions + Pauli-Villars bosons + unsmeared gauge action,
+src/stagg_pv_hmc/staghmc_spv.nim:36-58).
+
+Each matter term acts on nHYP-smeared links; forces flow through the
+smearing by AD (one shared forward smear per force time-group is left
+to XLA CSE).  The Hamiltonian, heatbath, trajectory, and Metropolis
+test are assembled into a single jittable ``hmc_step``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..gauge.action import (GaugeActionCoeffs, force_from_action,
+                            full_action)
+from ..gauge.smear import HypCoefs, nhyp_smear
+from ..hmc import hmc as hmc_mod
+from ..lattice import Lattice
+from ..ops import group, linalg
+from ..physics import stag_hmc
+from ..solvers.base import SolverParams
+from .md import ActionTerm, run_trajectory
+
+
+@dataclasses.dataclass(frozen=True)
+class GaugeActionSpec:
+    """Gauge action + its MD timescale (QEX addGaugeAction)."""
+
+    coeffs: GaugeActionCoeffs
+    steps: int = 10
+    scheme: str = "2MN"
+    smeared: bool = False  # smeared gauge action (staghmc_spv option)
+
+
+@dataclasses.dataclass(frozen=True)
+class FermionSpec:
+    """One staggered matter field (QEX addStaggeredFermion /
+    addStaggeredBoson)."""
+
+    kind: str          # "fermion" | "boson" | "rooted"
+    mass: float
+    steps: int = 10
+    scheme: str = "2MN"
+    smeared: bool = True
+    nf: int = 1        # rooted only: S = phi^dag A^{-nf/4} phi
+    degree: int = 10   # rooted only: rational approximation degree
+
+
+class LatticeFieldTheory:
+    """Gauge + matter HMC system.
+
+    Args mirror the JSON/XML decks of the reference (lattice geometry,
+    action coefficients, per-field masses/integrators/steps, smearing
+    coefficients, boundary conditions).
+    """
+
+    def __init__(self, lat: Lattice,
+                 gauge: GaugeActionSpec | Sequence[GaugeActionSpec],
+                 fermions: Sequence[FermionSpec] = (),
+                 smear: HypCoefs | None = None,
+                 bc: str = "pppa",
+                 solver_params: SolverParams = SolverParams(
+                     r2req=1e-12, maxits=2000, restarts=3),
+                 tau: float = 1.0):
+        self.lat = lat
+        self.gauges = ((gauge,) if isinstance(gauge, GaugeActionSpec)
+                       else tuple(gauge))
+        self.fermions = tuple(fermions)
+        self.smear_coefs = smear
+        self.bc = bc
+        self.solver_params = solver_params
+        self.tau = tau
+        self.terms = self._build_terms()
+
+    # -- construction ------------------------------------------------------
+    def _smear(self, u: jax.Array) -> jax.Array:
+        if self.smear_coefs is None:
+            return u
+        return nhyp_smear(self.smear_coefs, self.lat, u)
+
+    def _build_terms(self) -> list[ActionTerm]:
+        lat = self.lat
+        terms: list[ActionTerm] = []
+
+        for gi, gspec in enumerate(self.gauges):
+            gc = gspec.coeffs
+            smeared = gspec.smeared
+
+            def g_action(u, _phi, gc=gc, smeared=smeared):
+                v = self._smear(u) if smeared else u
+                return full_action(gc, lat, v)
+
+            def g_force(u, _phi, g_action=g_action):
+                return force_from_action(lambda uu: g_action(uu, None), u)
+
+            name = "smeared_gauge" if smeared else "gauge"
+            terms.append(ActionTerm(f"{name}{gi}", g_action, g_force,
+                                    gspec.steps, gspec.scheme))
+
+        for i, spec in enumerate(self.fermions):
+            if spec.kind == "fermion":
+                base = stag_hmc.StagFermion(lat, spec.mass, self.bc,
+                                            self.solver_params)
+            elif spec.kind == "boson":
+                base = stag_hmc.StagBoson(lat, spec.mass, self.bc,
+                                          self.solver_params)
+            elif spec.kind == "rooted":
+                base = stag_hmc.StagRootedFermion(
+                    lat, spec.mass, nf=spec.nf, bc=self.bc,
+                    degree=spec.degree, params=self.solver_params)
+            else:
+                raise ValueError(f"unknown matter kind {spec.kind!r}")
+            s_act = base.make_action_fn()
+            smeared = spec.smeared
+
+            def f_action(u, phi, s_act=s_act, smeared=smeared):
+                v = self._smear(u) if smeared else u
+                return s_act(v, phi)
+
+            def f_force(u, phi, f_action=f_action):
+                return force_from_action(
+                    lambda uu: f_action(uu, phi), u)
+
+            def f_heat(key, u, base=base, smeared=smeared):
+                v = self._smear(u) if smeared else u
+                return base.heatbath(key, v)
+
+            terms.append(ActionTerm(f"{spec.kind}{i}_m{spec.mass}",
+                                    f_action, f_force, spec.steps,
+                                    spec.scheme, heatbath=f_heat))
+        return terms
+
+    # -- HMC ---------------------------------------------------------------
+    def heatbath(self, key: jax.Array, u: jax.Array) -> list[Any]:
+        """Refresh all pseudofermion fields (QEX fermionHeatbath)."""
+        phis: list[Any] = []
+        keys = jax.random.split(key, len(self.terms))
+        for term, k in zip(self.terms, keys):
+            phis.append(term.heatbath(k, u) if term.heatbath else None)
+        return phis
+
+    def hamiltonian(self, u: jax.Array, p: jax.Array,
+                    phis: Sequence[Any]) -> jax.Array:
+        h = hmc_mod.kinetic_energy(p)
+        for term, phi in zip(self.terms, phis):
+            h = h + term.action(u, phi)
+        return h
+
+    def hmc_step(self, key: jax.Array, u: jax.Array, nsteps_scale: int = 1,
+                 always_accept: bool = False):
+        """One full trajectory: momenta + pseudofermion heatbath, MD,
+        Metropolis (QEX runHamiltonianMonteCarlo :13-76).
+
+        jit-safe; returns (u', HMCState).
+        """
+        lat = self.lat
+        kp, kf, ka = jax.random.split(key, 3)
+        nd, nc = u.shape[0], u.shape[1]
+        p = jax.vmap(lambda k: group.random_tah(
+            k, u.shape[3:], nc, u.dtype))(jax.random.split(kp, nd))
+        phis = self.heatbath(kf, u)
+        h_old = self.hamiltonian(u, p, phis)
+        u1, p1 = run_trajectory(self.terms, u, p, phis, self.tau,
+                                hmc_mod.gauge_update_u)
+        h_new = self.hamiltonian(u1, p1, phis)
+        dH = h_new - h_old
+        if always_accept:
+            acc = jnp.array(True)
+        else:
+            r = jax.random.uniform(ka, (), jnp.float32)
+            acc = jnp.log(r) < -dH
+        u_out = jnp.where(acc, u1, u)
+        return u_out, hmc_mod.HMCState(accepted=acc, dH=dH,
+                                       h_old=h_old, h_new=h_new)

@@ -1,0 +1,280 @@
+"""Staggered pseudofermion / Pauli-Villars actions for HMC.
+
+TPU-native replacement for QEX's fermion-HMC plumbing:
+``generate_pseudoferms`` (phi = D^dag psi for fermions, phi = D^-1 psi
+for PV bosons; src/stagg_pv_hmc/staghmc_spv.nim:521-554), the fermion
+action accumulation (:559-697) and the CG-solve force ``fforce``
+(:758-872), and the mcmc framework's staggered heatbath/forces
+(src/mcmc/fields/staggeredFields.nim:175-466).
+
+All actions are expressed on EVEN sites through the hermitian
+positive-definite normal operator
+
+    A(m) = m^2 - D_eo D_oe        (qex_tpu.physics.staggered.d2ee)
+
+* Fermion (2-flavor-equivalent): S_f = phi^dag A^{-1} phi,
+  heatbath phi = (D(m)^dag xi)_e = m xi_e - D_eo xi_o with xi complex
+  Gaussian of variance 1/2 per real component, so Cov(phi) = A.
+* Pauli-Villars boson:          S_pv = phi^dag A phi,
+  heatbath phi = A^{-1} (D^dag xi)_e  (Cov = A^{-1}; the reference's
+  phi = D^{-1} psi in eo form).
+* Hasenbusch ratio:  S_h = phi^dag A(mp) A(m)^{-1} A(mp) ... is composed
+  by the mcmc layer from these primitives (see qex_tpu.mcmc).
+
+Forces use the **implicit-function VJP**: for S = phi^dag A(u)^{-1} phi
+with x = A^{-1} phi, dS/du = -x^dag (dA/du) x -- one extra CG solve per
+force, differentiated through d2ee by ordinary AD (replacing QEX's
+hand-built outer-product ``stagDeriv``, stagD.nim:589-635).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..lattice import Lattice
+from ..ops import eo, group, linalg
+from ..solvers.base import SolverParams
+from . import stag_solve, staggered as st
+
+
+def _a_apply(lat: Lattice, bc: str, u: jax.Array, x_e: jax.Array,
+             m: float) -> jax.Array:
+    """A(m) x on even sites from UNPACKED links (differentiable in u)."""
+    s = st.new_stag_eo(lat, u, bc)
+    return st.d2ee(s, x_e, m)
+
+
+def _ddag_e(lat: Lattice, bc: str, u: jax.Array, xi: jax.Array,
+            m: float) -> jax.Array:
+    """(D(m)^dag xi)_e = m xi_e - D_eo xi_o for a full-lattice xi."""
+    s = st.new_stag_eo(lat, u, bc)
+    xi_e, xi_o = eo.pack(xi, lat.nd)
+    return m * xi_e - st.dslash_eo(s, xi_o, parity_out=0)
+
+
+def gaussian_eta(key: jax.Array, lat: Lattice, dtype) -> jax.Array:
+    """Full-lattice complex Gaussian with P ~ exp(-|xi|^2):
+    variance 1/2 per real component (QEX's pseudofermion noise
+    normalization, staghmc_spv.nim:521-554)."""
+    rdtype = jnp.finfo(dtype).dtype
+    kr, ki = jax.random.split(key)
+    shape = lat.vector_shape()
+    return ((jax.random.normal(kr, shape, rdtype)
+             + 1j * jax.random.normal(ki, shape, rdtype))
+            * 0.7071067811865476).astype(dtype)
+
+
+def make_quad_inv_action(lat: Lattice, bc: str, m: float,
+                         params: SolverParams) -> Callable:
+    """Differentiable S(u, phi) = Re[phi^dag A(u,m)^{-1} phi].
+
+    custom_vjp: forward runs CG once; backward evaluates
+    -x^dag dA x by AD with x held fixed (the implicit-function trick
+    replacing staghmc_spv's fforce solve+outer-product).
+    """
+
+    def solve_x(u, phi):
+        s = st.new_stag_eo(lat, u, bc)
+        x, _ = stag_solve.solve_ee(s, phi, m, params)
+        return x
+
+    @jax.custom_vjp
+    def s_act(u, phi):
+        x = solve_x(u, phi)
+        return jnp.real(linalg.dot(phi, x))
+
+    def fwd(u, phi):
+        x = solve_x(u, phi)
+        return jnp.real(linalg.dot(phi, x)), (u, phi, x)
+
+    def bwd(res, g):
+        u, phi, x = res
+
+        def quad(uu):
+            return -jnp.real(linalg.dot(x, _a_apply(lat, bc, uu, x, m)))
+
+        gu = jax.grad(quad)(u)
+        gphi = 2.0 * jnp.conj(x)
+        return (g * gu, g * gphi)
+
+    s_act.defvjp(fwd, bwd)
+    return s_act
+
+
+def make_quad_action(lat: Lattice, bc: str, m: float) -> Callable:
+    """Differentiable S(u, phi) = Re[phi^dag A(u,m) phi] (PV boson)."""
+
+    def s_act(u, phi):
+        return jnp.real(linalg.dot(phi, _a_apply(lat, bc, u, phi, m)))
+
+    return s_act
+
+
+@dataclasses.dataclass(frozen=True)
+class StagFermion:
+    """Staggered pseudofermion action term S = phi^dag A(m)^{-1} phi.
+
+    ``n_pseudo`` independent pseudofermion fields share the operator
+    (QEX staghmc_spv 'Nf' with 4 tastes per field; rooting is handled by
+    the rational term in qex_tpu.mcmc)."""
+
+    lat: Lattice
+    m: float
+    bc: str = "pppa"
+    params: SolverParams = SolverParams(r2req=1e-12, maxits=2000, restarts=3)
+
+    def heatbath(self, key: jax.Array, u: jax.Array) -> jax.Array:
+        xi = gaussian_eta(key, self.lat, u.dtype)
+        return _ddag_e(self.lat, self.bc, u, xi, self.m)
+
+    def action(self, u: jax.Array, phi: jax.Array) -> jax.Array:
+        return make_quad_inv_action(self.lat, self.bc, self.m,
+                                    self.params)(u, phi)
+
+    def make_action_fn(self) -> Callable:
+        return make_quad_inv_action(self.lat, self.bc, self.m, self.params)
+
+
+@dataclasses.dataclass(frozen=True)
+class StagBoson:
+    """Pauli-Villars boson term S = phi^dag A(m_pv) phi
+    (staghmc_spv.nim PV fields, mass_pv)."""
+
+    lat: Lattice
+    m: float
+    bc: str = "pppa"
+    params: SolverParams = SolverParams(r2req=1e-12, maxits=2000, restarts=3)
+
+    def heatbath(self, key: jax.Array, u: jax.Array) -> jax.Array:
+        xi = gaussian_eta(key, self.lat, u.dtype)
+        rhs = _ddag_e(self.lat, self.bc, u, xi, self.m)
+        s = st.new_stag_eo(self.lat, u, self.bc)
+        phi, _ = stag_solve.solve_ee(s, rhs, self.m, self.params)
+        return phi
+
+    def action(self, u: jax.Array, phi: jax.Array) -> jax.Array:
+        return make_quad_action(self.lat, self.bc, self.m)(u, phi)
+
+    def make_action_fn(self) -> Callable:
+        return make_quad_action(self.lat, self.bc, self.m)
+
+
+def fermion_force(action_fn: Callable, u: jax.Array, phi: jax.Array
+                  ) -> jax.Array:
+    """TAH MD force of a fermion/boson action term at fixed phi."""
+    from ..gauge.action import force_from_action
+    return force_from_action(lambda uu: action_fn(uu, phi), u)
+
+
+@dataclasses.dataclass(frozen=True)
+class StagRootedFermion:
+    """Rooted staggered fermion: S = phi^dag A(m)^{-nf/4} phi.
+
+    Rational approximations (qex_tpu.solvers.rational, replacing QEX's
+    static Remez table mcmc/utilities/rational.nim) in partial-fraction
+    form, evaluated by ONE multishift CG each:
+
+      * heatbath: phi = A^{+nf/8} xi  (Cov(phi) = A^{nf/4})
+      * action/MD: S = c0 |phi|^2 + sum_i r_i phi^dag (A+s_i)^{-1} phi
+
+    QEX parity: addRootedStaggeredFermion
+    (mcmc/actions/latticeAction.nim:65-170,
+    mcmc/fields/staggeredFields.nim:191-466).
+    """
+
+    lat: Lattice
+    m: float
+    nf: int = 1
+    bc: str = "pppa"
+    degree: int = 10
+    params: SolverParams = SolverParams(r2req=1e-12, maxits=2000, restarts=1)
+
+    def _base_op(self, u):
+        s = st.new_stag_eo(self.lat, u, self.bc)
+        return lambda x: st.d2dd(s, x, parity=0)
+
+    def _spectral_range(self) -> tuple[float, float]:
+        # A = m^2 - D_eo D_oe with |eig(Dslash)| <= nd/... staggered
+        # Dslash (with the 1/2) has |lambda| <= nd/2 * 2 = nd... use the
+        # safe bound |lambda|^2 <= nd^2.
+        lo = self.m * self.m
+        hi = lo + float(self.lat.nd ** 2)
+        return lo, hi
+
+    def _approx(self, num: int, den: int):
+        from ..solvers.rational import rational_approx
+        lo, hi = self._spectral_range()
+        return rational_approx(num, den, lo, hi, self.degree)
+
+    def heatbath(self, key: jax.Array, u: jax.Array) -> jax.Array:
+        xi = gaussian_eta(key, self.lat, u.dtype)
+        xi_e, _ = eo.pack(xi, self.lat.nd)
+        ra = self._approx(self.nf, 8)        # A^{+nf/8}
+        base = self._base_op(u)
+        mm = self.m * self.m
+
+        def shifted(x):
+            return base(x) + mm * x
+
+        phi, _ = ra.apply(shifted, xi_e, r2req=self.params.r2req,
+                          maxits=self.params.maxits)
+        return phi
+
+    def _xs(self, u, phi, ra):
+        from ..solvers import cgm
+        base = self._base_op(u)
+        mm = self.m * self.m
+        xs, stats = cgm.cg_multishift(
+            lambda x: base(x) + mm * x, phi, list(ra.poles),
+            r2req=self.params.r2req, maxits=self.params.maxits)
+        return xs
+
+    def make_action_fn(self) -> Callable:
+        """Differentiable S(u, phi) with implicit-function VJP:
+        dS/du = -sum_i r_i x_i^dag (dA/du) x_i from ONE multishift
+        solve (replacing QEX's per-pole solve+outer-product force)."""
+        ra = self._approx(-self.nf, 4)       # A^{-nf/4}
+
+        def value_and_xs(u, phi):
+            xs = self._xs(u, phi, ra)
+            s = ra.c0 * linalg.norm2(phi)
+            for r, x in zip(ra.residues, xs):
+                s = s + r * jnp.real(linalg.dot(phi, x))
+            return s, xs
+
+        @jax.custom_vjp
+        def s_act(u, phi):
+            s, _ = value_and_xs(u, phi)
+            return s
+
+        def fwd(u, phi):
+            s, xs = value_and_xs(u, phi)
+            return s, (u, phi, xs)
+
+        def bwd(res, g):
+            u, phi, xs = res
+
+            def quad(uu):
+                acc = 0.0
+                for r, x in zip(ra.residues, xs):
+                    acc = acc - r * jnp.real(
+                        linalg.dot(x, _a_apply(self.lat, self.bc, uu, x,
+                                               self.m)))
+                return acc
+
+            gu = jax.grad(quad)(u)
+            gphi = ra.c0 * phi
+            for r, x in zip(ra.residues, xs):
+                gphi = gphi + r * x
+            return (g * gu, g * 2.0 * jnp.conj(gphi))
+
+        s_act.defvjp(fwd, bwd)
+        return s_act
+
+    def action(self, u: jax.Array, phi: jax.Array) -> jax.Array:
+        return self.make_action_fn()(u, phi)

