@@ -1,0 +1,200 @@
+"""XML-driven staggered + Pauli-Villars HMC (the production app).
+
+TPU-native replacement for QEX's src/stagg_pv_hmc/staghmc_spv.nim
+(2,413 LoC): nHYP-smeared staggered fermions (Nf, mass) + num_pv
+Pauli-Villars bosons (mass_pv), unsmeared + optional smeared gauge
+actions (Wilson / rect / adjoint), per-field integrators and step
+counts, Metropolis warmup delay (no_metropolis_until), measurement
+lines (MEASplaq / MEASploop), reversibility checks, and checkpointing.
+
+Usage:
+    python -m qex_tpu.apps.staghmc_spv --xml input_hmc.xml \
+        [--ntraj N] [--cpu] [-key=value ...]
+
+Output lines are grep-able tags in the reference's style
+(staghmc_spv_meas.nim): MEASplaq, MEASploop, "Begin/End H", ACCEPT/REJECT.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_theory(cfg, lat, dtype):
+    from qex_tpu.gauge import action as ga
+    from qex_tpu.gauge.smear import HypCoefs
+    from qex_tpu.mcmc import (FermionSpec, GaugeActionSpec,
+                              LatticeFieldTheory)
+    from qex_tpu.solvers.base import SolverParams
+
+    def coeffs(act, beta, c1, adj_fac):
+        if act.lower() == "wilson":
+            return ga.wilson(beta)
+        if act.lower() == "rect":
+            return ga.gauge_act_rect(beta, c1)
+        if act.lower() == "adjoint":
+            return ga.adjoint_action(beta, adj_fac)
+        raise ValueError(f"unknown gauge action {act!r}")
+
+    gauges = [GaugeActionSpec(coeffs(cfg.gauge_act, cfg.beta, cfg.c1,
+                                     cfg.adj_fac),
+                              steps=cfg.g_steps, scheme=cfg.gauge_int_alg,
+                              smeared=False)]
+    if cfg.sg_opt:
+        gauges.append(GaugeActionSpec(
+            coeffs(cfg.smeared_gauge_act, cfg.sm_beta, cfg.sm_c1,
+                   cfg.sm_adj_fac),
+            steps=cfg.sg_steps, scheme=cfg.smeared_gauge_int_alg,
+            smeared=True))
+
+    fermions = []
+    matter_smeared = cfg.matter_smearing.lower() == "nhyp"
+    # Nf staggered fermions: each field = 4 tastes; Nf%4 == 0 uses
+    # Nf/4 plain (2-taste-pair) pseudofermion fields like the reference;
+    # non-multiples use a rooted term.
+    if cfg.nf > 0:
+        if cfg.nf % 4 == 0:
+            for _ in range(cfg.nf // 4):
+                fermions.append(FermionSpec("fermion", cfg.mass,
+                                            steps=cfg.f_steps,
+                                            scheme=cfg.ferm_int_alg,
+                                            smeared=matter_smeared))
+        else:
+            fermions.append(FermionSpec("rooted", cfg.mass,
+                                        steps=cfg.f_steps,
+                                        scheme=cfg.ferm_int_alg,
+                                        smeared=matter_smeared,
+                                        nf=cfg.nf))
+    for _ in range(cfg.num_pv):
+        fermions.append(FermionSpec("boson", cfg.mass_pv,
+                                    steps=cfg.pv_steps,
+                                    scheme=cfg.pv_int_alg,
+                                    smeared=matter_smeared))
+
+    smear = (HypCoefs(cfg.alpha_1, cfg.alpha_2, cfg.alpha_3)
+             if (matter_smeared or cfg.gauge_smearing.lower() == "nhyp")
+             else None)
+    return LatticeFieldTheory(
+        lat, gauges, fermions, smear=smear, bc=cfg.bc,
+        solver_params=SolverParams(
+            r2req=cfg.a_tol, maxits=cfg.a_maxits, restarts=3),
+        tau=cfg.tau)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="staghmc_spv")
+    ap.add_argument("--xml", help="XML input deck (input_hmc.xml format)")
+    ap.add_argument("--json", help="JSON input deck")
+    ap.add_argument("--ntraj", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend")
+    ap.add_argument("overrides", nargs="*",
+                    help="-key=value config overrides")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from qex_tpu.lattice import Lattice
+    from qex_tpu.gauge import loops
+    from qex_tpu.io import checkpoint as ckpt
+    from qex_tpu.ops import group, linalg
+    from qex_tpu.utils.config import HMCConfig
+
+    if args.xml:
+        cfg = HMCConfig.from_xml(args.xml)
+    elif args.json:
+        cfg = HMCConfig.from_json(args.json)
+    else:
+        cfg = HMCConfig()
+    kvs = {}
+    for ov in args.overrides:
+        k, _, v = ov.lstrip("-").partition("=")
+        kvs[k] = v
+    cfg.override(kvs)
+    ntraj = args.ntraj if args.ntraj is not None else cfg.num_trajectories
+
+    lat = Lattice(cfg.dims)
+    on_cpu = jax.devices()[0].platform == "cpu"
+    dtype = jnp.complex128 if (on_cpu and jax.config.jax_enable_x64) \
+        else jnp.complex64
+    print(f"# staghmc_spv: lattice {lat.dims} nf={cfg.nf} "
+          f"mass={cfg.mass} num_pv={cfg.num_pv} mass_pv={cfg.mass_pv} "
+          f"beta={cfg.beta} tau={cfg.tau} device={jax.devices()[0]}")
+
+    theory = build_theory(cfg, lat, dtype)
+
+    # gauge start / resume
+    start_traj = 0
+    if cfg.start_config > 0:
+        fn = os.path.join(cfg.save_path,
+                          f"{cfg.save_filename}_{cfg.start_config}")
+        u, rng_state, start_traj = ckpt.load_checkpoint(fn, lat, dtype)
+        print(f"# resumed from {fn} at trajectory {start_traj}")
+    elif cfg.start == "cold":
+        u = group.unit_gauge(lat, dtype)
+    else:
+        @jax.jit
+        def hot(seed):
+            key = jax.random.PRNGKey(seed)
+            return jnp.stack([
+                linalg.expm(0.7 * group.random_tah(
+                    jax.random.fold_in(key, i), lat.dims, lat.nc, dtype))
+                for i in range(lat.nd)])
+        u = hot(cfg.parallel_seed)
+
+    @jax.jit
+    def measure(u):
+        pl = loops.plaquette(lat, u)
+        ploop = loops.polyakov_loop(lat, u)
+        plq6 = loops.plaquette_by_plane(lat, u)
+        return (jnp.real(pl).astype(jnp.float32),
+                jnp.real(ploop).astype(jnp.float32),
+                jnp.imag(ploop).astype(jnp.float32),
+                jnp.real(plq6).astype(jnp.float32))
+
+    step_acc = jax.jit(lambda k, uu: theory.hmc_step(k, uu,
+                                                     always_accept=True))
+    step_met = jax.jit(lambda k, uu: theory.hmc_step(k, uu))
+
+    n_acc = 0
+    for traj in range(start_traj, start_traj + ntraj):
+        t0 = time.time()
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.serial_seed), traj)
+        warmup = traj < cfg.no_metropolis_until
+        u, st = (step_acc if warmup else step_met)(key, u)
+        dH = float(st.dH)
+        acc = bool(st.accepted)
+        n_acc += int(acc and not warmup)
+        print(f"Begin H: {float(st.h_old):.10g}")
+        print(f"End H: {float(st.h_new):.10g}")
+        print(f"{'ACCEPT' if acc else 'REJECT'}: dH {dH:.6g} "
+              f"({time.time()-t0:.2f} s){' [warmup]' if warmup else ''}")
+        if cfg.plaq_freq and (traj + 1) % cfg.plaq_freq == 0:
+            pl, plr, pli, plq6 = measure(u)
+            print(f"MEASplaq {float(pl):.12g}")
+            if cfg.plaq_verbose:
+                print("MEASplaq6 " + " ".join(
+                    f"{float(x):.10g}" for x in plq6))
+        if cfg.ploop_freq and (traj + 1) % cfg.ploop_freq == 0:
+            _, plr, pli, _ = measure(u)
+            print(f"MEASploop {float(plr):.10g} {float(pli):.10g}")
+        if cfg.save_freq and (traj + 1) % cfg.save_freq == 0:
+            fn = os.path.join(cfg.save_path,
+                              f"{cfg.save_filename}_{traj + 1}")
+            ckpt.save_checkpoint(fn, u, {"serial_seed": cfg.serial_seed},
+                                 traj + 1)
+            print(f"# saved {fn}")
+    done = ntraj - min(cfg.no_metropolis_until - start_traj, ntraj)
+    if done > 0:
+        print(f"# acceptance: {n_acc}/{done} = {n_acc/max(1,done):.3f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,105 @@
+"""Staggered and Wilson meson correlators.
+
+TPU-native replacement for QEX's src/physics/stagMesonLocal.nim
+(``stagMesons`` :14 -- taste-singlet local staggered mesons),
+src/physics/wilsonMeson.nim, and the correlator programs
+src/observables/fpvaMeas.nim:30 and conn4d.nim:128-190.
+
+Staggered local channels: with point-source propagators G_a(x) (one per
+source color a), the local correlator in channel with sign phase
+eps(x) is
+
+    C(t) = sum_{x spatial} eps(x) sum_a |G_a(x, t)|^2
+
+Goldstone pion: eps = 1.  The local non-Goldstone channels use
+(-1)^{x_i} sign flips (taste structure of the one-component field).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..lattice import Lattice
+from ..ops import linalg
+from ..physics import stag_solve, staggered as st
+from ..solvers.base import SolverParams
+
+
+def point_source(lat: Lattice, color: int, site=None,
+                 dtype=jnp.complex64) -> jax.Array:
+    """Color-vector delta source at ``site`` (default origin).
+    QEX parity: observables/sources.nim point sources."""
+    if site is None:
+        site = (0,) * lat.nd
+    b = jnp.zeros(lat.vector_shape(), dtype)
+    return b.at[(color,) + tuple(site)].set(1.0)
+
+
+def _sign_field(lat: Lattice, dirs: tuple[int, ...]) -> jax.Array:
+    """(-1)^{sum_{mu in dirs} x_mu} over the lattice."""
+    s = jnp.zeros(lat.dims, jnp.int32)
+    for mu in dirs:
+        shape = [1] * lat.nd
+        shape[mu] = lat.dims[mu]
+        s = s + jax.lax.broadcasted_iota(jnp.int32, tuple(shape), mu)
+    return 1.0 - 2.0 * (s % 2).astype(jnp.float32)
+
+
+# local staggered meson channels: name -> spatial sign directions
+STAG_CHANNELS = {
+    "pion5": (),             # Goldstone pi (gamma5 x gamma5)
+    "pion_i5": (0, 1, 2),    # gamma0gamma5-type (all-spatial sign)
+    "rho_x": (0,),
+    "rho_y": (1,),
+    "rho_z": (2,),
+    "a1_xy": (0, 1),
+    "a1_yz": (1, 2),
+    "a1_zx": (2, 0),
+}
+
+
+def stag_mesons_from_prop(lat: Lattice, props: jax.Array,
+                          channels=("pion5",)) -> dict[str, jax.Array]:
+    """Correlators from stacked color propagators (nc, nc, *dims):
+    props[a] solves D G_a = delta e_a.
+
+    Returns {channel: C(t)} with C summed over spatial volume per
+    t-slice (QEX stagMesons :14).
+    """
+    dens = jnp.sum(jnp.abs(props) ** 2, axis=(0, 1))  # (*dims,)
+    spatial_axes = tuple(range(lat.nd - 1))
+    out = {}
+    for ch in channels:
+        sgn = _sign_field(lat, STAG_CHANNELS[ch])
+        out[ch] = jnp.sum(dens * sgn, axis=spatial_axes)
+    return out
+
+
+def stag_meson_correlators(lat: Lattice, u: jax.Array, m: float,
+                           bc: str = "pppa",
+                           channels=("pion5", "pion_i5", "rho_x"),
+                           params: SolverParams = SolverParams(),
+                           site=None) -> dict[str, jax.Array]:
+    """Point-source staggered meson correlators: nc solves + contraction
+    (QEX fpvaMeas pipeline for the F channel)."""
+    s = st.new_stag_eo(lat, u, bc)
+    props = []
+    for a in range(lat.nc):
+        b = point_source(lat, a, site, u.dtype)
+        x, _ = stag_solve.solve(s, b, m, params)
+        props.append(x)
+    props = jnp.stack(props)  # (nc_src, nc, *dims)
+    return stag_mesons_from_prop(lat, props, channels)
+
+
+def wilson_pion_from_prop(lat: Lattice, props: jax.Array) -> jax.Array:
+    """Wilson pion correlator from stacked (ns*nc) point-source
+    propagators props[(s,a)] of shape (ns, nc, *dims):
+    C(t) = sum_x tr[S^dag S] (gamma5-gamma5 contraction via
+    gamma5-hermiticity).  QEX wilsonMeson parity."""
+    dens = jnp.sum(jnp.abs(props) ** 2,
+                   axis=tuple(range(props.ndim - lat.nd)))
+    return jnp.sum(dens, axis=tuple(range(lat.nd - 1)))

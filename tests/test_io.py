@@ -1,0 +1,108 @@
+"""I/O tests: LIME record round-trips, SciDAC gauge round-trips with
+checksum verification, checkpoint resume.
+
+Mirrors the reference's tgaugeio/tfieldio tests (SURVEY.md §4.1).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qex_tpu.lattice import Lattice
+from qex_tpu.io import checkpoint as ckpt
+from qex_tpu.io import lime
+from qex_tpu.ops import group, linalg
+
+
+@pytest.fixture
+def lat():
+    return Lattice((4, 4, 2, 6))
+
+
+@pytest.fixture
+def u(lat):
+    key = jax.random.PRNGKey(51)
+    return jnp.stack([group.random_su(jax.random.fold_in(key, i), lat.dims,
+                                      lat.nc, jnp.complex128)
+                      for i in range(lat.nd)])
+
+
+def test_lime_roundtrip(tmp_path):
+    p = str(tmp_path / "t.lime")
+    recs = [lime.LimeRecord("first-rec", b"hello world"),
+            lime.LimeRecord("second-rec", b"x" * 137),
+            lime.LimeRecord("third-rec", b"")]
+    lime.write_lime(p, recs)
+    back = lime.read_lime(p)
+    assert [r.type for r in back] == [r.type for r in recs]
+    assert [r.data for r in back] == [r.data for r in recs]
+    assert back[0].mb and back[-1].me
+    # header size + padding discipline: file size is a multiple of 8
+    assert os.path.getsize(p) % 8 == 0
+
+
+def test_scidac_gauge_roundtrip_f64(tmp_path, lat, u):
+    p = str(tmp_path / "gauge.scidac")
+    lime.save_gauge(p, lat, u, precision="D")
+    back = lime.load_gauge(p, lat)
+    assert back.shape == lat.gauge_shape()
+    assert np.abs(back - np.asarray(u)).max() < 1e-15
+
+
+def test_scidac_gauge_roundtrip_f32(tmp_path, lat, u):
+    p = str(tmp_path / "gauge32.scidac")
+    lime.save_gauge(p, lat, u, precision="F")
+    back = lime.load_gauge(p, lat)
+    assert np.abs(back - np.asarray(u)).max() < 1e-6
+
+
+def test_scidac_checksum_detects_corruption(tmp_path, lat, u):
+    p = str(tmp_path / "gauge.scidac")
+    lime.save_gauge(p, lat, u, precision="D")
+    raw = bytearray(open(p, "rb").read())
+    # flip one byte inside the binary payload (beyond the XML records)
+    raw[len(raw) // 2] ^= 0xFF
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="checksum|magic"):
+        lime.load_gauge(p, lat)
+
+
+def test_scidac_wrong_lattice_rejected(tmp_path, lat, u):
+    p = str(tmp_path / "gauge.scidac")
+    lime.save_gauge(p, lat, u, precision="D")
+    with pytest.raises(ValueError, match="does not match"):
+        lime.load_gauge(p, Lattice((4, 4, 4, 4)))
+
+
+def test_lex_order_convention(tmp_path):
+    """The binary site order must be x-fastest: site (1,0,0,0) is the
+    second site record."""
+    lat = Lattice((2, 2, 2, 2))
+    nd, nc = lat.nd, lat.nc
+    u = np.zeros(lat.gauge_shape(), np.complex128)
+    # tag each site with its lex rank in the (0,0) matrix entry of mu=0
+    for t in range(2):
+        for z in range(2):
+            for y in range(2):
+                for x in range(2):
+                    r = x + 2 * (y + 2 * (z + 2 * t))
+                    u[0, 0, 0, x, y, z, t] = r
+    p = str(tmp_path / "order.scidac")
+    lime.save_gauge(p, lat, jnp.asarray(u), precision="D")
+    recs = {r.type: r for r in lime.read_lime(p)}
+    sites = np.frombuffer(recs["scidac-binary-data"].data,
+                          ">c16").reshape(lat.volume, nd, nc, nc)
+    tags = sites[:, 0, 0, 0].real.astype(int)
+    assert list(tags) == list(range(lat.volume))
+
+
+def test_checkpoint_roundtrip(tmp_path, lat, u):
+    p = str(tmp_path / "ck")
+    ckpt.save_checkpoint(p, u, {"seed": 7, "counter": 42}, traj=13)
+    g, rng, traj = ckpt.load_checkpoint(p, lat, jnp.complex128)
+    assert traj == 13
+    assert rng == {"seed": 7, "counter": 42}
+    assert float(linalg.norm2(g - u)) == 0.0
