@@ -181,6 +181,83 @@ def d2ee(s: StaggeredEO, x_e: jax.Array, m: float) -> jax.Array:
     return (m * m) * x_e - y
 
 
+@dataclasses.dataclass(frozen=True)
+class Staggered3EO:
+    """Even-odd packed fat+naik staggered operator (QEX ``newStag3``,
+    stagD.nim:543): 1-hop fat links + 3-hop long links.
+
+    Build from qex_tpu.gauge.fat7.hisq_links applied to phased links
+    (MILC convention: stagPhase/setBC folded in BEFORE fattening, as in
+    hisqLinks.nim's main usage).
+    """
+
+    lat: Lattice
+    gf_e: jax.Array
+    gf_o: jax.Array
+    gl_e: jax.Array
+    gl_o: jax.Array
+
+
+def new_stag3_eo(lat: Lattice, fat: jax.Array, long: jax.Array
+                 ) -> Staggered3EO:
+    """Pack pre-phased fat/long links into the eo operator."""
+    fe, fo = eo.pack(fat, lat.nd)
+    le, lo = eo.pack(long, lat.nd)
+    return Staggered3EO(lat, fe, fo, le, lo)
+
+
+def dslash3_eo(s: Staggered3EO, x_src: jax.Array, parity_out: int
+               ) -> jax.Array:
+    """Fat (1-hop) + naik (3-hop) hopping term onto ``parity_out``.
+
+    Both hop distances are odd, so both connect the opposite parity.
+    The naik coefficient is already inside the long links (fat7
+    make_imp_links folds it).
+    """
+    lat = s.lat
+    nd = lat.nd
+    gf_out = s.gf_e if parity_out == 0 else s.gf_o
+    gf_src = s.gf_o if parity_out == 0 else s.gf_e
+    gl_out = s.gl_e if parity_out == 0 else s.gl_o
+    gl_src = s.gl_o if parity_out == 0 else s.gl_e
+    out = None
+    for mu in range(nd):
+        fwd = linalg.mv(gf_out[mu], eo.shift_eo(x_src, mu, +1,
+                                                parity_out, nd))
+        bwd = eo.shift_eo(linalg.mv_an(gf_src[mu], x_src), mu, -1,
+                          parity_out, nd)
+        term = fwd - bwd
+        fwd3 = linalg.mv(gl_out[mu], eo.shift_eo(x_src, mu, +1,
+                                                 parity_out, nd, dist=3))
+        bwd3 = eo.shift_eo(linalg.mv_an(gl_src[mu], x_src), mu, -1,
+                           parity_out, nd, dist=3)
+        term = term + fwd3 - bwd3
+        out = term if out is None else out + term
+    return 0.5 * out
+
+
+def dslash3_full(lat: Lattice, fat: jax.Array, long: jax.Array,
+                 x: jax.Array) -> jax.Array:
+    """Full-lattice fat+naik hopping term (correctness oracle)."""
+    nd = lat.nd
+    out = None
+    for mu in range(nd):
+        term = (linalg.mv(fat[mu], shift(x, mu, +1, nd))
+                - shift(linalg.mv_an(fat[mu], x), mu, -1, nd))
+        term = term + (linalg.mv(long[mu], shift(x, mu, +1, nd, dist=3))
+                       - shift(linalg.mv_an(long[mu], x), mu, -1, nd,
+                               dist=3))
+        out = term if out is None else out + term
+    return 0.5 * out
+
+
+def d2ee3(s: Staggered3EO, x_e: jax.Array, m: float) -> jax.Array:
+    """Even-odd normal operator for the fat+naik Dslash."""
+    t = dslash3_eo(s, x_e, parity_out=1)
+    y = dslash3_eo(s, t, parity_out=0)
+    return (m * m) * x_e - y
+
+
 def d2dd(s: StaggeredEO, x: jax.Array, parity: int = 0) -> jax.Array:
     """Mass-free normal operator A x = -D_po,ps D_ps,po x on ``parity``.
 

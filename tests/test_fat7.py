@@ -1,0 +1,114 @@
+"""fat7 / HISQ link-building tests: gauge covariance, unit-gauge
+closed forms, naik operator structure."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qex_tpu.lattice import Lattice
+from qex_tpu.gauge import fat7
+from qex_tpu.ops import eo, group, linalg
+from qex_tpu.ops.shifts import shift
+from qex_tpu.physics import staggered as st
+
+DT = jnp.complex128
+
+
+@pytest.fixture
+def lat():
+    return Lattice((4, 4, 4, 4))
+
+
+@pytest.fixture
+def u(lat):
+    key = jax.random.PRNGKey(31)
+    return jnp.stack([
+        linalg.expm(0.5 * group.random_tah(jax.random.fold_in(key, i),
+                                           lat.dims, lat.nc, DT))
+        for i in range(lat.nd)])
+
+
+def gauge_transform(lat, u, g):
+    return jnp.stack([
+        linalg.mul(linalg.mul(g, u[mu]),
+                   linalg.adj(shift(g, mu, +1, lat.nd)))
+        for mu in range(lat.nd)])
+
+
+def test_fat7_gauge_covariance(lat, u):
+    c = fat7.set_hisq_fat7(2.0, 1.0)
+    g = group.random_su(jax.random.PRNGKey(2), lat.dims, lat.nc, DT)
+    f1, l1 = fat7.make_imp_links(lat, gauge_transform(lat, u, g), c,
+                                 naik=-1.0 / 24.0)
+    f2, l2 = fat7.make_imp_links(lat, u, c, naik=-1.0 / 24.0)
+    f2 = gauge_transform(lat, f2, g)
+    # long links transform with g(x) ... g(x+3mu)^dag
+    l2t = jnp.stack([
+        linalg.mul(linalg.mul(g, l2[mu]),
+                   linalg.adj(shift(g, mu, +1, lat.nd, dist=3)))
+        for mu in range(lat.nd)])
+    assert float(linalg.norm2(f1 - f2)) / float(linalg.norm2(f2)) < 1e-20
+    assert float(linalg.norm2(l1 - l2t)) / float(linalg.norm2(l2t)) < 1e-20
+
+
+def test_fat7_unit_gauge_closed_form(lat):
+    """On unit gauge every path is the identity; the fat link equals
+    (c1-6cL + 6c3 + 12cL + 24c5 + 48c7) * I, with path multiplicities
+    3-staple 6, Lepage 12, 5-staple 24, 7-staple 48."""
+    c = fat7.Fat7lCoefs(one_link=0.7, three_staple=0.11,
+                        five_staple=0.013, seven_staple=0.0017,
+                        lepage=0.19)
+    uu = group.unit_gauge(lat, DT)
+    fl, _ = fat7.make_imp_links(lat, uu, c)
+    w = (c.one_link - 6 * c.lepage + 6 * c.three_staple
+         + 12 * c.lepage + 24 * c.five_staple + 48 * c.seven_staple)
+    ref = w * uu
+    assert float(linalg.norm2(fl - ref)) < 1e-18 * float(linalg.norm2(ref))
+
+
+def test_naik_long_links(lat, u):
+    """ll[mu](x) = naik * U(x) U(x+mu) U(x+2mu)."""
+    naik = -1.0 / 24.0
+    _, ll = fat7.make_imp_links(lat, u, fat7.Fat7lCoefs(one_link=1.0),
+                                naik=naik)
+    mu = 2
+    ref = naik * linalg.mul(
+        u[mu], linalg.mul(shift(u[mu], mu, +1, lat.nd),
+                          shift(u[mu], mu, +1, lat.nd, dist=2)))
+    assert float(linalg.norm2(ll[mu] - ref)) < 1e-20
+
+
+def test_hisq_links_finite_and_covariant(lat, u):
+    fl, ll = fat7.hisq_links(lat, u)
+    assert np.all(np.isfinite(np.asarray(fl)))
+    assert np.all(np.isfinite(np.asarray(ll)))
+    g = group.random_su(jax.random.PRNGKey(9), lat.dims, lat.nc, DT)
+    f1, _ = fat7.hisq_links(lat, gauge_transform(lat, u, g))
+    f2 = gauge_transform(lat, fl, g)
+    assert float(linalg.norm2(f1 - f2)) / float(linalg.norm2(f2)) < 1e-16
+
+
+def test_stag3_eo_matches_full(lat, u):
+    """eo-packed fat+naik Dslash == full-lattice oracle, and the
+    normal operator is hermitian."""
+    fl, ll = fat7.hisq_links(lat, st.phase_links(lat, u, bc="pppp"))
+    s3 = st.new_stag3_eo(lat, fl, ll)
+    key = jax.random.PRNGKey(4)
+    x = (jax.random.normal(key, lat.vector_shape())
+         + 1j * jax.random.normal(jax.random.fold_in(key, 1),
+                                  lat.vector_shape())).astype(DT)
+    d_ref = st.dslash3_full(lat, fl, ll, x)
+    de_ref, do_ref = eo.pack(d_ref, lat.nd)
+    xe, xo = eo.pack(x, lat.nd)
+    de = st.dslash3_eo(s3, xo, parity_out=0)
+    do = st.dslash3_eo(s3, xe, parity_out=1)
+    assert float(linalg.norm2(de - de_ref)) < 1e-18 * float(
+        linalg.norm2(de_ref))
+    assert float(linalg.norm2(do - do_ref)) < 1e-18 * float(
+        linalg.norm2(do_ref))
+    # normal op hermitian positive
+    ye = st.d2ee3(s3, xe, 0.1)
+    h = linalg.dot(xe, ye)
+    assert abs(jnp.imag(h)) < 1e-9 * abs(h)
+    assert float(jnp.real(h)) > 0
