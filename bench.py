@@ -85,7 +85,9 @@ def main() -> None:
     import jax.numpy as jnp
     from qex_tpu.lattice import Lattice
     from qex_tpu.ops import group, linalg
+    from qex_tpu.physics import stag_fast as sf
     from qex_tpu.physics import stag_solve, staggered as st
+    from qex_tpu.solvers import cg
     from qex_tpu.solvers.base import SolverParams
 
     dev = jax.devices()[0]
@@ -100,25 +102,26 @@ def main() -> None:
     @jax.jit
     def setup(key):
         """Hot-start SU(3) links (exp of TAH: QR-free) + unit-norm rhs,
-        already phased+eo-packed."""
+        phased + eo-packed + converted to the lane-packed fast layout
+        (qex_tpu.physics.stag_fast)."""
         ks = jax.random.split(key, lat.nd + 1)
         u = jnp.stack([
             linalg.expm(0.7 * group.random_tah(ks[i], lat.dims, lat.nc,
                                                dtype))
             for i in range(lat.nd)])
-        s = st.new_stag_eo(lat, u)
+        s = sf.new_fast(st.new_stag_eo(lat, u))
         x = jax.random.normal(ks[-1], (lat.nc,) + dims[:-1]
                               + (dims[-1] // 2,), jnp.float32).astype(dtype)
         x = x / jnp.sqrt(linalg.norm2(x)).astype(dtype)
-        return s.g_e, s.g_o, x
+        return s.g_e, s.g_o, sf.to_fast(x, lat)
 
     @jax.jit
     def chain(ge, go, v):
         """iters dependent d2ee applications; returns a real scalar."""
-        so = st.StaggeredEO(lat, ge, go)
+        so = sf.FastStagEO(lat, ge, go)
 
         def body(v, _):
-            w = st.d2ee(so, v, mass)
+            w = sf.d2ee_fast(so, v, mass)
             w = w / jnp.sqrt(linalg.norm2(w)).astype(w.dtype)
             return w, None
 
@@ -154,10 +157,10 @@ def main() -> None:
     try:
         @jax.jit
         def cg_run(ge, go, be):
-            so = st.StaggeredEO(lat, ge, go)
-            xe, stats = stag_solve.solve_ee(
-                so, be, mass, SolverParams(r2req=1e-12, maxits=500,
-                                           restarts=2))
+            so = sf.FastStagEO(lat, ge, go)
+            xe, stats = cg.cg_solve_restarted(
+                lambda v: sf.d2ee_fast(so, v, mass), be,
+                r2req=1e-12, maxits=500, restarts=2)
             return (jnp.real(stats.r2).astype(jnp.float32),
                     stats.iterations.astype(jnp.float32))
 

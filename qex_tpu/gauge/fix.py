@@ -1,0 +1,141 @@
+"""Coulomb / Landau gauge fixing.
+
+TPU-native replacement for QEX's src/gauge/gaugefix.nim (SU(2)-subgroup
+overrelaxation sweeps, ``getGaugeFixTransform`` :312, quality metrics
+:145-196).
+
+Idiomatic TPU formulation: instead of sequential SU(2) subgroup hits,
+a CHECKERBOARD polar relaxation -- all even sites update
+simultaneously (their optimal transform depends only on odd-site data),
+then all odd sites.  The per-site maximizer of the gauge functional
+
+    F[g] = sum_{x, mu in dirs} Re tr[ g(x) U_mu(x) g(x+mu)^dag ]
+
+at fixed neighbors is the polar projection g(x) = P(h(x)^dag) with
+
+    h(x) = sum_{mu in dirs} [ U_mu(x) g(x+mu)^dag
+                            + (g(x-mu) U_mu(x-mu))^dag ],
+
+which is the lattice analog of maximizing over the whole group at once
+rather than SU(2) subgroups -- same fixed points, full-volume
+vectorization.  Landau gauge: dirs = all; Coulomb: dirs = spatial.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..lattice import Lattice
+from ..ops import eo, group, linalg
+from ..ops.shifts import shift
+
+
+def apply_gauge_transform(lat: Lattice, u: jax.Array, g: jax.Array
+                          ) -> jax.Array:
+    """U_mu(x) -> g(x) U_mu(x) g(x+mu)^dag."""
+    return jnp.stack([
+        linalg.mul(linalg.mul(g, u[mu]),
+                   linalg.adj(shift(g, mu, +1, lat.nd)))
+        for mu in range(lat.nd)])
+
+
+def functional(lat: Lattice, u: jax.Array, dirs) -> jax.Array:
+    """Normalized gauge functional F = mean_x,mu Re tr U_mu / nc."""
+    vals = [jnp.sum(linalg.re_trace(u[mu])) for mu in dirs]
+    return sum(vals) / (len(dirs) * lat.nc * lat.volume)
+
+
+def violation(lat: Lattice, u: jax.Array, dirs) -> jax.Array:
+    """Gauge-condition residual theta = (1/V) sum_x |Delta(x)|^2 with
+    Delta = sum_mu [A_mu(x) - A_mu(x-mu)], A = (U - U^dag)_TAH
+    (QEX gaugefix metric :145-196 analog)."""
+    delta = None
+    for mu in dirs:
+        a = group.tah(u[mu])
+        d = a - shift(a, mu, -1, lat.nd)
+        delta = d if delta is None else delta + d
+    return linalg.norm2(delta) / lat.volume
+
+
+def _site_h(lat: Lattice, u: jax.Array, g: jax.Array, dirs) -> jax.Array:
+    """h(x) as above (everything full-lattice; parity masking selects
+    which sites actually move)."""
+    nd = lat.nd
+    h = None
+    for mu in dirs:
+        fwd = linalg.mul_na(u[mu], shift(g, mu, +1, nd))
+        bwd = linalg.adj(shift(linalg.mul(g, u[mu]), mu, -1, nd))
+        t = fwd + bwd
+        h = t if h is None else h + t
+    return h
+
+
+def _parity_mask(lat: Lattice) -> jax.Array:
+    s = jnp.zeros(lat.dims, jnp.int32)
+    for mu in range(lat.nd):
+        shape = [1] * lat.nd
+        shape[mu] = lat.dims[mu]
+        s = s + jax.lax.broadcasted_iota(jnp.int32, tuple(shape), mu)
+    return (s % 2).astype(jnp.float32)
+
+
+def gauge_fix(lat: Lattice, u: jax.Array, *, gauge: str = "landau",
+              iters: int = 200, proj_iters: int = 14
+              ) -> tuple[jax.Array, jax.Array]:
+    """Compute the gauge-fixing transform g (QEX
+    ``getGaugeFixTransform``).
+
+    Returns (g, fixed_u).  ``gauge``: "landau" (all directions) or
+    "coulomb" (spatial only).  Fixed iteration count keeps it jittable;
+    monitor :func:`violation` on the result.
+    """
+    if gauge == "landau":
+        dirs = tuple(range(lat.nd))
+    elif gauge == "coulomb":
+        dirs = tuple(range(lat.nd - 1))
+    else:
+        raise ValueError(f"unknown gauge {gauge!r}")
+
+    odd = _parity_mask(lat)          # 1 on odd sites
+    even = 1.0 - odd
+    ident = linalg.eye_like(jnp.zeros((lat.nc, lat.nc) + lat.dims,
+                                      u.dtype))
+    g0 = jnp.broadcast_to(ident, (lat.nc, lat.nc) + lat.dims)
+
+    def half_update(g, mask):
+        h = _site_h(lat, u, g, dirs)
+        gopt = linalg.project_su(linalg.adj(h), iters=proj_iters)
+        return g * (1.0 - mask) + gopt * mask
+
+    def polar_body(i, g):
+        g = half_update(g, even)
+        g = half_update(g, odd)
+        return g
+
+    # Phase 1: polar relaxation (fast approach to the basin).  The
+    # U(3)-polar maximizer with det-phase removal is NOT exactly
+    # SU(3)-stationary, so:
+    # Phase 2: checkerboard Riemannian gradient ascent
+    #   g <- exp(-tau * projTAH(g h)) g, which is stationary exactly at
+    # the SU(3) gauge condition (the role of QEX's SU(2)-subgroup
+    # sweeps).
+    tau = 0.9 / (2.0 * len(dirs))
+
+    def grad_half(g, mask):
+        h = _site_h(lat, u, g, dirs)
+        x = group.tah(linalg.mul(g, h))
+        gnew = linalg.mul(linalg.expm(-tau * x), g)
+        return g * (1.0 - mask) + gnew * mask
+
+    def grad_body(i, g):
+        g = grad_half(g, even)
+        g = grad_half(g, odd)
+        return g
+
+    n1 = max(iters // 4, 1)
+    g = jax.lax.fori_loop(0, n1, polar_body, g0)
+    g = jax.lax.fori_loop(0, iters - n1, grad_body, g)
+    return g, apply_gauge_transform(lat, u, g)

@@ -40,6 +40,14 @@ class ActionTerm:
     action(u, phi) -> real scalar; force(u, phi) -> TAH force field.
     ``phi`` is this term's (pytree of) pseudofermion fields, or None.
     heatbath(key, u) -> phi refresh (None for gauge terms).
+
+    Smeared-sector sharing (QEX mdvAllfga fusion): terms acting on
+    TRANSFORMED links V = transform(U) may also provide
+    ``chain_force(v, phi) -> dS/dV`` (raw complex gradient in JAX's
+    convention) and set ``smeared=True``.  The trajectory then computes
+    ONE transform forward + ONE vjp per kick time-group, summing the
+    (coefficient-weighted) chains of all smeared terms before
+    backpropagating -- the chain rule is linear in the cotangent.
     """
 
     name: str
@@ -48,6 +56,8 @@ class ActionTerm:
     steps: int
     scheme: Integrator | str = "2MN"
     heatbath: Callable[[jax.Array, jax.Array], Any] | None = None
+    smeared: bool = False
+    chain_force: Callable[[jax.Array, Any], jax.Array] | None = None
 
     def get_scheme(self) -> Integrator:
         s = self.scheme
@@ -110,11 +120,35 @@ def build_schedule(terms: Sequence[ActionTerm], tau: float):
     return schedule
 
 
-def _apply_schedule(schedule, terms, u, p, phis, update_u):
+def _shared_smeared_kick(transform, terms, kicks, u, p, phis):
+    """Sum coefficient-weighted chains of all smeared kicks, apply one
+    transform VJP, project TAH once: p += projTAH(U G^T)."""
+    from ..ops import group
+
+    v, vjp = jax.vjp(transform, u)
+    chain = None
+    for (i, cdt, _x) in kicks:
+        c = cdt * terms[i].chain_force(v, phis[i])
+        chain = c if chain is None else chain + c
+    (gu,) = vjp(chain)
+    m = jnp.einsum("dab...,dcb...->dac...", u, gu)
+    return p + jax.vmap(group.tah)(m)
+
+
+def _apply_schedule(schedule, terms, u, p, phis, update_u,
+                    transform=None):
     for dt, kicks in schedule:
         if dt > _EPS:
             u = update_u(u, p, dt)
-        for (i, cdt, xidt2) in kicks:
+        shared = [k for k in kicks
+                  if transform is not None and terms[k[0]].smeared
+                  and terms[k[0]].chain_force is not None
+                  and k[2] == 0.0]
+        rest = [k for k in kicks if k not in shared]
+        if shared:
+            p = _shared_smeared_kick(transform, terms, shared, u, p,
+                                     phis)
+        for (i, cdt, xidt2) in rest:
             term = terms[i]
             if xidt2 == 0.0:
                 p = p - cdt * term.force(u, phis[i])
@@ -131,6 +165,8 @@ def run_trajectory(terms: Sequence[ActionTerm], u0: jax.Array,
                    update_u: Callable[[jax.Array, jax.Array, float],
                                       jax.Array],
                    use_scan: bool = True,
+                   transform: Callable[[jax.Array], jax.Array] | None
+                   = None,
                    ) -> tuple[jax.Array, jax.Array]:
     """Integrate the composite multi-timescale trajectory.
 
@@ -150,14 +186,16 @@ def run_trajectory(terms: Sequence[ActionTerm], u0: jax.Array,
     g = reduce(math.gcd, [t.steps for t in terms]) if use_scan else 1
     if g <= 1:
         schedule = build_schedule(terms, tau)
-        return _apply_schedule(schedule, terms, u0, p0, phis, update_u)
+        return _apply_schedule(schedule, terms, u0, p0, phis, update_u,
+                               transform)
 
     sub = [dataclasses.replace(t, steps=t.steps // g) for t in terms]
     schedule = build_schedule(sub, tau / g)
 
     def body(carry, _):
         u, p = carry
-        u, p = _apply_schedule(schedule, sub, u, p, phis, update_u)
+        u, p = _apply_schedule(schedule, sub, u, p, phis, update_u,
+                               transform)
         return (u, p), None
 
     (u, p), _ = jax.lax.scan(body, (u0, p0), None, length=g)

@@ -95,7 +95,7 @@ class LatticeFieldTheory:
 
         for gi, gspec in enumerate(self.gauges):
             gc = gspec.coeffs
-            smeared = gspec.smeared
+            smeared = gspec.smeared and self.smear_coefs is not None
 
             def g_action(u, _phi, gc=gc, smeared=smeared):
                 v = self._smear(u) if smeared else u
@@ -104,9 +104,15 @@ class LatticeFieldTheory:
             def g_force(u, _phi, g_action=g_action):
                 return force_from_action(lambda uu: g_action(uu, None), u)
 
+            def g_chain(v, _phi, gc=gc):
+                return jax.grad(lambda vv: full_action(gc, lat, vv))(v)
+
             name = "smeared_gauge" if smeared else "gauge"
             terms.append(ActionTerm(f"{name}{gi}", g_action, g_force,
-                                    gspec.steps, gspec.scheme))
+                                    gspec.steps, gspec.scheme,
+                                    smeared=smeared,
+                                    chain_force=g_chain if smeared
+                                    else None))
 
         for i, spec in enumerate(self.fermions):
             if spec.kind == "fermion":
@@ -122,7 +128,7 @@ class LatticeFieldTheory:
             else:
                 raise ValueError(f"unknown matter kind {spec.kind!r}")
             s_act = base.make_action_fn()
-            smeared = spec.smeared
+            smeared = spec.smeared and self.smear_coefs is not None
 
             def f_action(u, phi, s_act=s_act, smeared=smeared):
                 v = self._smear(u) if smeared else u
@@ -132,13 +138,19 @@ class LatticeFieldTheory:
                 return force_from_action(
                     lambda uu: f_action(uu, phi), u)
 
+            def f_chain(v, phi, s_act=s_act):
+                return jax.grad(lambda vv: s_act(vv, phi))(v)
+
             def f_heat(key, u, base=base, smeared=smeared):
                 v = self._smear(u) if smeared else u
                 return base.heatbath(key, v)
 
             terms.append(ActionTerm(f"{spec.kind}{i}_m{spec.mass}",
                                     f_action, f_force, spec.steps,
-                                    spec.scheme, heatbath=f_heat))
+                                    spec.scheme, heatbath=f_heat,
+                                    smeared=smeared,
+                                    chain_force=f_chain if smeared
+                                    else None))
         return terms
 
     # -- HMC ---------------------------------------------------------------
@@ -171,8 +183,11 @@ class LatticeFieldTheory:
             k, u.shape[3:], nc, u.dtype))(jax.random.split(kp, nd))
         phis = self.heatbath(kf, u)
         h_old = self.hamiltonian(u, p, phis)
+        transform = (self._smear
+                     if any(t.smeared for t in self.terms) else None)
         u1, p1 = run_trajectory(self.terms, u, p, phis, self.tau,
-                                hmc_mod.gauge_update_u)
+                                hmc_mod.gauge_update_u,
+                                transform=transform)
         h_new = self.hamiltonian(u1, p1, phis)
         dH = h_new - h_old
         if always_accept:
