@@ -55,6 +55,10 @@ class FermionSpec:
     smeared: bool = True
     nf: int = 1        # rooted only: S = phi^dag A^{-nf/4} phi
     degree: int = 10   # rooted only: rational approximation degree
+    hmasses: tuple = ()  # Hasenbusch preconditioner masses (ascending);
+    #                      splits the fermion into ratio terms + one
+    #                      plain term at the heaviest mass
+    #                      (staghmc_sh hmasses parity)
 
 
 class LatticeFieldTheory:
@@ -115,6 +119,19 @@ class LatticeFieldTheory:
                                     else None))
 
         for i, spec in enumerate(self.fermions):
+            if spec.kind == "fermion" and spec.hmasses:
+                # Hasenbusch chain: ratio(m, h1), ratio(h1, h2), ...,
+                # plain fermion at the heaviest mass
+                ms = (spec.mass,) + tuple(spec.hmasses)
+                bases = [stag_hmc.StagHasenbusch(
+                    lat, ms[j], ms[j + 1], self.bc, self.solver_params)
+                    for j in range(len(ms) - 1)]
+                bases.append(stag_hmc.StagFermion(
+                    lat, ms[-1], self.bc, self.solver_params))
+                for j, hb in enumerate(bases):
+                    self._add_matter_term(
+                        terms, hb, f"fermion{i}_h{j}", spec)
+                continue
             if spec.kind == "fermion":
                 base = stag_hmc.StagFermion(lat, spec.mass, self.bc,
                                             self.solver_params)
@@ -127,31 +144,33 @@ class LatticeFieldTheory:
                     degree=spec.degree, params=self.solver_params)
             else:
                 raise ValueError(f"unknown matter kind {spec.kind!r}")
-            s_act = base.make_action_fn()
-            smeared = spec.smeared and self.smear_coefs is not None
-
-            def f_action(u, phi, s_act=s_act, smeared=smeared):
-                v = self._smear(u) if smeared else u
-                return s_act(v, phi)
-
-            def f_force(u, phi, f_action=f_action):
-                return force_from_action(
-                    lambda uu: f_action(uu, phi), u)
-
-            def f_chain(v, phi, s_act=s_act):
-                return jax.grad(lambda vv: s_act(vv, phi))(v)
-
-            def f_heat(key, u, base=base, smeared=smeared):
-                v = self._smear(u) if smeared else u
-                return base.heatbath(key, v)
-
-            terms.append(ActionTerm(f"{spec.kind}{i}_m{spec.mass}",
-                                    f_action, f_force, spec.steps,
-                                    spec.scheme, heatbath=f_heat,
-                                    smeared=smeared,
-                                    chain_force=f_chain if smeared
-                                    else None))
+            self._add_matter_term(terms, base,
+                                  f"{spec.kind}{i}_m{spec.mass}", spec)
         return terms
+
+    def _add_matter_term(self, terms, base, name, spec):
+        s_act = base.make_action_fn()
+        smeared = spec.smeared and self.smear_coefs is not None
+
+        def f_action(u, phi, s_act=s_act, smeared=smeared):
+            v = self._smear(u) if smeared else u
+            return s_act(v, phi)
+
+        def f_force(u, phi, f_action=f_action):
+            return force_from_action(lambda uu: f_action(uu, phi), u)
+
+        def f_chain(v, phi, s_act=s_act):
+            return jax.grad(lambda vv: s_act(vv, phi))(v)
+
+        def f_heat(key, u, base=base, smeared=smeared):
+            v = self._smear(u) if smeared else u
+            return base.heatbath(key, v)
+
+        terms.append(ActionTerm(name, f_action, f_force, spec.steps,
+                                spec.scheme, heatbath=f_heat,
+                                smeared=smeared,
+                                chain_force=f_chain if smeared
+                                else None))
 
     # -- HMC ---------------------------------------------------------------
     def heatbath(self, key: jax.Array, u: jax.Array) -> list[Any]:

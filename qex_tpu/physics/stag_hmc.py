@@ -172,6 +172,54 @@ def fermion_force(action_fn: Callable, u: jax.Array, phi: jax.Array
 
 
 @dataclasses.dataclass(frozen=True)
+class StagHasenbusch:
+    """Hasenbusch mass-preconditioned ratio term.
+
+    Even-site action (QEX staghmc_sh faction semantics, derived in
+    even-odd-reduced form):
+
+        S_h = phi^dag phi + (m2^2 - m1^2) phi^dag A(m1)^{-1} phi
+
+    with m1 = light (target) mass, m2 = heavy (preconditioner) mass.
+    Heatbath: phi = [D(m2)^{-1} D(m1) xi]_e for full-lattice Gaussian
+    xi (staghmc_sh.nim:744-753 'phi = D(m2)^{-1} D(m1) psi' with odd
+    part zeroed) -- its even-site covariance is exactly A1 A2^{-1}.
+    The force is (m2^2 - m1^2) times the plain quad-inverse force at
+    m1 (staghmc_sh ``fscale``, :383-387).
+    """
+
+    lat: Lattice
+    m1: float           # light mass
+    m2: float           # heavy (Hasenbusch) mass
+    bc: str = "pppa"
+    params: SolverParams = SolverParams(r2req=1e-12, maxits=2000, restarts=3)
+
+    def heatbath(self, key: jax.Array, u: jax.Array) -> jax.Array:
+        xi = gaussian_eta(key, self.lat, u.dtype)
+        s = st.new_stag_eo(self.lat, u, self.bc)
+        xi_e, xi_o = eo.pack(xi, self.lat.nd)
+        # b = D(m1) xi on both parities
+        b_e = self.m1 * xi_e + st.dslash_eo(s, xi_o, parity_out=0)
+        b_o = self.m1 * xi_o + st.dslash_eo(s, xi_e, parity_out=1)
+        phi_e, _phi_o, _stats = stag_solve.solve_eo(
+            s, b_e, b_o, self.m2, self.params)
+        return phi_e
+
+    def make_action_fn(self) -> Callable:
+        quad = make_quad_inv_action(self.lat, self.bc, self.m1,
+                                    self.params)
+        delta = self.m2 * self.m2 - self.m1 * self.m1
+
+        def s_act(u, phi):
+            return jnp.real(linalg.dot(phi, phi)) + delta * quad(u, phi)
+
+        return s_act
+
+    def action(self, u: jax.Array, phi: jax.Array) -> jax.Array:
+        return self.make_action_fn()(u, phi)
+
+
+@dataclasses.dataclass(frozen=True)
 class StagRootedFermion:
     """Rooted staggered fermion: S = phi^dag A(m)^{-nf/4} phi.
 

@@ -60,7 +60,7 @@ def new_pallas(s) -> PallasStagEO:
 
 def _dslash_kernel(X: int, parity_out: int, nzb: int,
                    psi_c, psi_zm, psi_zp, psi_tm, psi_tp,
-                   a_c, b_c, b_zm, b_tm, b_tp_unused, out):
+                   a_c, b_c, b_zm, b_tm, out):
     """One (th, z-block) plane of the eo Dslash.
 
     Block shapes (leading re/im axis RI=2):
@@ -78,9 +78,10 @@ def _dslash_kernel(X: int, parity_out: int, nzb: int,
     def cvec(ref, zz):
         """Load color vector from a spinor ref plane zz -> list of
         (re, im) pairs of shape (1, yx)."""
-        return [(ref[0, c, 0, zz], ref[1, c, 0, zz]) for c in range(3)]
+        return [(ref[0, c, :, zz], ref[1, c, :, zz]) for c in range(3)]
 
     def roll_pair(v, sh):
+        sh = sh % yx   # pltpu.roll requires non-negative shifts
         return tuple(pltpu.roll(x, sh, 1) for x in v)
 
     def sel_pair(mask, a, b):
@@ -108,11 +109,11 @@ def _dslash_kernel(X: int, parity_out: int, nzb: int,
             ri = None
             for b in range(3):
                 if adjoint:
-                    ar = lref[0, mu, b, a, 0, zz]
-                    ai = -lref[1, mu, b, a, 0, zz]
+                    ar = lref[0, mu, b, a, :, zz]
+                    ai = -lref[1, mu, b, a, :, zz]
                 else:
-                    ar = lref[0, mu, a, b, 0, zz]
-                    ai = lref[1, mu, a, b, 0, zz]
+                    ar = lref[0, mu, a, b, :, zz]
+                    ai = lref[1, mu, a, b, :, zz]
                 vr, vi = vec[b]
                 tr = ar * vr - ai * vi
                 ti = ar * vi + ai * vr
@@ -145,16 +146,14 @@ def _dslash_kernel(X: int, parity_out: int, nzb: int,
         acc = axpy(acc, shift_y(t, -1), -1.0)
 
         # mu = 2 (z): fwd needs psi(z+1); bwd needs (B^dag psi)(z-1)
-        if nzb > 1:
-            psi_zp_v = (cvec(psi_c, zz + 1) if zz + 1 < nzb
-                        else cvec(psi_zp, 0))
-            psi_zm_v = (cvec(psi_c, zz - 1) if zz - 1 >= 0
-                        else cvec(psi_zm, 0))
-            bz_ref, bz_zz = (b_c, zz - 1) if zz - 1 >= 0 else (b_zm, 0)
-        else:
-            psi_zp_v = cvec(psi_zp, 0)
-            psi_zm_v = cvec(psi_zm, 0)
-            bz_ref, bz_zz = b_zm, 0
+        # neighbor planes: within the z-block when possible, else the
+        # LAST plane of the z-1 block / FIRST plane of the z+1 block
+        psi_zp_v = (cvec(psi_c, zz + 1) if zz + 1 < nzb
+                    else cvec(psi_zp, 0))
+        psi_zm_v = (cvec(psi_c, zz - 1) if zz - 1 >= 0
+                    else cvec(psi_zm, nzb - 1))
+        bz_ref, bz_zz = ((b_c, zz - 1) if zz - 1 >= 0
+                         else (b_zm, nzb - 1))
         acc = axpy(acc, matvec(a_c, 2, psi_zp_v, zz))
         t = matvec(bz_ref, 2, psi_zm_v, bz_zz, adjoint=True)
         acc = axpy(acc, t, -1.0)
@@ -173,8 +172,8 @@ def _dslash_kernel(X: int, parity_out: int, nzb: int,
         acc = axpy(acc, bwd_t, -1.0)
 
         for c in range(3):
-            out[0, c, 0, zz] = 0.5 * acc[c][0]
-            out[1, c, 0, zz] = 0.5 * acc[c][1]
+            out[0, c, :, zz] = 0.5 * acc[c][0]
+            out[1, c, :, zz] = 0.5 * acc[c][1]
 
 
 def dslash_pallas(s: PallasStagEO, x_split: jax.Array, parity_out: int,
@@ -207,7 +206,6 @@ def dslash_pallas(s: PallasStagEO, x_split: jax.Array, parity_out: int,
         link(lambda th, z: (0, 0, 0, 0, th, z, 0)),            # b_c
         link(lambda th, z: (0, 0, 0, 0, th, (z - 1) % nz, 0)),  # b_zm
         link(lambda th, z: (0, 0, 0, 0, (th - 1) % Th, z, 0)),  # b_tm
-        link(lambda th, z: (0, 0, 0, 0, (th + 1) % Th, z, 0)),  # unused
     ]
     out_spec = pl.BlockSpec((2, 3, 1, nzb, YX),
                             lambda th, z: (0, 0, th, z, 0),
@@ -225,7 +223,7 @@ def dslash_pallas(s: PallasStagEO, x_split: jax.Array, parity_out: int,
                                       bytes_accessed=bytes_acc,
                                       transcendentals=0),
         interpret=interpret,
-    )(x_split, x_split, x_split, x_split, x_split, a, b, b, b, b)
+    )(x_split, x_split, x_split, x_split, x_split, a, b, b, b)
 
 
 def d2ee_pallas(s: PallasStagEO, x_e_split: jax.Array, m: float,
