@@ -115,18 +115,38 @@ def main() -> None:
         x = x / jnp.sqrt(linalg.norm2(x)).astype(dtype)
         return s.g_e, s.g_o, sf.to_fast(x, lat)
 
-    @jax.jit
-    def chain(ge, go, v):
-        """iters dependent d2ee applications; returns a real scalar."""
-        so = sf.FastStagEO(lat, ge, go)
+    use_pallas = on_tpu
+    if use_pallas:
+        from qex_tpu.physics import stag_pallas as sp
 
-        def body(v, _):
-            w = sf.d2ee_fast(so, v, mass)
-            w = w / jnp.sqrt(linalg.norm2(w)).astype(w.dtype)
-            return w, None
+        @jax.jit
+        def chain(ge, go, v):
+            """iters dependent d2ee applications (fused Pallas stencil
+            kernel); returns a real scalar."""
+            so = sp.PallasStagEO(lat, sp._split(ge), sp._split(go))
+            vs = sp._split(v)
 
-        v, _ = jax.lax.scan(body, v, None, length=iters)
-        return jnp.real(linalg.norm2(v)).astype(jnp.float32)
+            def body(vs, _):
+                w = sp.d2ee_pallas(so, vs, mass)
+                w = w / jnp.sqrt(jnp.sum(w * w))
+                return w, None
+
+            vs, _ = jax.lax.scan(body, vs, None, length=iters)
+            return jnp.sum(vs * vs).astype(jnp.float32)
+    else:
+        @jax.jit
+        def chain(ge, go, v):
+            """iters dependent d2ee applications; returns a real
+            scalar."""
+            so = sf.FastStagEO(lat, ge, go)
+
+            def body(v, _):
+                w = sf.d2ee_fast(so, v, mass)
+                w = w / jnp.sqrt(linalg.norm2(w)).astype(w.dtype)
+                return w, None
+
+            v, _ = jax.lax.scan(body, v, None, length=iters)
+            return jnp.real(linalg.norm2(v)).astype(jnp.float32)
 
     ge, go, x = setup(jax.random.PRNGKey(2024))
     float(chain(ge, go, x))          # compile + warm
@@ -155,14 +175,28 @@ def main() -> None:
 
     # --- CG solve (secondary, stderr) -------------------------------------
     try:
-        @jax.jit
-        def cg_run(ge, go, be):
-            so = sf.FastStagEO(lat, ge, go)
-            xe, stats = cg.cg_solve_restarted(
-                lambda v: sf.d2ee_fast(so, v, mass), be,
-                r2req=1e-12, maxits=500, restarts=2)
-            return (jnp.real(stats.r2).astype(jnp.float32),
-                    stats.iterations.astype(jnp.float32))
+        if use_pallas:
+            from qex_tpu.physics import stag_pallas as sp2
+
+            @jax.jit
+            def cg_run(ge, go, be):
+                so = sp2.PallasStagEO(lat, sp2._split(ge),
+                                      sp2._split(go))
+                op = lambda v: sp2._join(
+                    sp2.d2ee_pallas(so, sp2._split(v), mass))
+                xe, stats = cg.cg_solve_restarted(
+                    op, be, r2req=1e-12, maxits=500, restarts=2)
+                return (jnp.real(stats.r2).astype(jnp.float32),
+                        stats.iterations.astype(jnp.float32))
+        else:
+            @jax.jit
+            def cg_run(ge, go, be):
+                so = sf.FastStagEO(lat, ge, go)
+                xe, stats = cg.cg_solve_restarted(
+                    lambda v: sf.d2ee_fast(so, v, mass), be,
+                    r2req=1e-12, maxits=500, restarts=2)
+                return (jnp.real(stats.r2).astype(jnp.float32),
+                        stats.iterations.astype(jnp.float32))
 
         r2, its = cg_run(ge, go, x)
         float(r2)

@@ -60,7 +60,7 @@ def new_pallas(s) -> PallasStagEO:
 
 def _dslash_kernel(X: int, parity_out: int, nzb: int,
                    psi_c, psi_zm, psi_zp, psi_tm, psi_tp,
-                   a_c, b_c, b_zm, b_tm, out):
+                   a_c, b_c, bz_zm, bt_tm, out):
     """One (th, z-block) plane of the eo Dslash.
 
     Block shapes (leading re/im axis RI=2):
@@ -152,10 +152,12 @@ def _dslash_kernel(X: int, parity_out: int, nzb: int,
                     else cvec(psi_zp, 0))
         psi_zm_v = (cvec(psi_c, zz - 1) if zz - 1 >= 0
                     else cvec(psi_zm, nzb - 1))
-        bz_ref, bz_zz = ((b_c, zz - 1) if zz - 1 >= 0
-                         else (b_zm, nzb - 1))
+        if zz - 1 >= 0:
+            bz_ref, bz_mu, bz_zz = b_c, 2, zz - 1
+        else:
+            bz_ref, bz_mu, bz_zz = bz_zm, 0, nzb - 1
         acc = axpy(acc, matvec(a_c, 2, psi_zp_v, zz))
-        t = matvec(bz_ref, 2, psi_zm_v, bz_zz, adjoint=True)
+        t = matvec(bz_ref, bz_mu, psi_zm_v, bz_zz, adjoint=True)
         acc = axpy(acc, t, -1.0)
 
         # mu = 3 (t): fwd = select(s, psi_tp, psi_c);
@@ -167,7 +169,7 @@ def _dslash_kernel(X: int, parity_out: int, nzb: int,
                  for p, c in zip(psi_tp_v, psi)]
         acc = axpy(acc, matvec(a_c, 3, fwd_t, zz))
         t_cur = matvec(b_c, 3, psi, zz, adjoint=True)
-        t_tm = matvec(b_tm, 3, psi_tm_v, zz, adjoint=True)
+        t_tm = matvec(bt_tm, 0, psi_tm_v, zz, adjoint=True)
         bwd_t = [sel_pair(s_par, c, m) for c, m in zip(t_cur, t_tm)]
         acc = axpy(acc, bwd_t, -1.0)
 
@@ -194,6 +196,8 @@ def dslash_pallas(s: PallasStagEO, x_split: jax.Array, parity_out: int,
                                    memory_space=pltpu.VMEM)
     link = lambda im: pl.BlockSpec((2, 4, 3, 3, 1, nzb, YX), im,
                                    memory_space=pltpu.VMEM)
+    link1 = lambda im: pl.BlockSpec((2, 1, 3, 3, 1, nzb, YX), im,
+                                    memory_space=pltpu.VMEM)
 
     grid = (Th, nz)
     in_specs = [
@@ -204,8 +208,8 @@ def dslash_pallas(s: PallasStagEO, x_split: jax.Array, parity_out: int,
         spin(lambda th, z: (0, 0, (th + 1) % Th, z, 0)),       # psi_tp
         link(lambda th, z: (0, 0, 0, 0, th, z, 0)),            # a_c
         link(lambda th, z: (0, 0, 0, 0, th, z, 0)),            # b_c
-        link(lambda th, z: (0, 0, 0, 0, th, (z - 1) % nz, 0)),  # b_zm
-        link(lambda th, z: (0, 0, 0, 0, (th - 1) % Th, z, 0)),  # b_tm
+        link1(lambda th, z: (0, 0, 0, 0, th, (z - 1) % nz, 0)),  # bz_zm
+        link1(lambda th, z: (0, 0, 0, 0, (th - 1) % Th, z, 0)),  # bt_tm
     ]
     out_spec = pl.BlockSpec((2, 3, 1, nzb, YX),
                             lambda th, z: (0, 0, th, z, 0),
@@ -223,7 +227,8 @@ def dslash_pallas(s: PallasStagEO, x_split: jax.Array, parity_out: int,
                                       bytes_accessed=bytes_acc,
                                       transcendentals=0),
         interpret=interpret,
-    )(x_split, x_split, x_split, x_split, x_split, a, b, b, b)
+    )(x_split, x_split, x_split, x_split, x_split, a, b,
+      b[:, 2:3], b[:, 3:4])
 
 
 def d2ee_pallas(s: PallasStagEO, x_e_split: jax.Array, m: float,

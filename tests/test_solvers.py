@@ -1,0 +1,68 @@
+"""BiCGStab / GCR tests on the (non-hermitian) staggered operator and
+random matrices."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qex_tpu.lattice import Lattice
+from qex_tpu.ops import group, linalg
+from qex_tpu.physics import staggered as st
+from qex_tpu.solvers.bicgstab import bicgstab_solve
+from qex_tpu.solvers.gcr import gcr_solve
+
+DT = jnp.complex128
+
+
+@pytest.fixture
+def system(scope="module"):
+    lat = Lattice((4, 4, 4, 4))
+    key = jax.random.PRNGKey(2)
+    u = jnp.stack([group.random_su(jax.random.fold_in(key, i), lat.dims,
+                                   lat.nc, DT) for i in range(lat.nd)])
+    g = st.phase_links(lat, u, bc="pppp")
+    b = (jax.random.normal(key, lat.vector_shape())
+         + 1j * jax.random.normal(jax.random.fold_in(key, 1),
+                                  lat.vector_shape())).astype(DT)
+    op = lambda v: st.d_full(lat, g, v, 0.3)
+    return op, b
+
+
+def test_bicgstab_staggered(system):
+    op, b = system
+    x, stats = bicgstab_solve(op, b, r2req=1e-20, maxits=2000)
+    rel = float(linalg.norm2(op(x) - b)) / float(linalg.norm2(b))
+    assert rel < 1e-16, (rel, int(stats.iterations))
+
+
+def test_gcr_staggered(system):
+    op, b = system
+    x, stats = gcr_solve(op, b, r2req=1e-20, m=20, max_restarts=40)
+    rel = float(linalg.norm2(op(x) - b)) / float(linalg.norm2(b))
+    assert rel < 1e-16, (rel, int(stats.iterations))
+
+
+def test_gcr_preconditioned_converges_faster(system):
+    op, b = system
+    # diagonal-ish preconditioner: a few Jacobi-like relaxation steps
+    prec = lambda v: v / 0.3 - op(v) / (0.3 * 0.3 * 4.0)
+    x1, s1 = gcr_solve(op, b, r2req=1e-16, m=16, max_restarts=40)
+    x2, s2 = gcr_solve(op, b, precon=prec, r2req=1e-16, m=16,
+                       max_restarts=40)
+    assert float(linalg.norm2(op(x2) - b)) / float(linalg.norm2(b)) \
+        < 1e-12
+    # preconditioning shouldn't pessimize iteration count badly
+    assert int(s2.iterations) <= int(s1.iterations) * 2
+
+
+def test_bicgstab_random_nonhermitian():
+    rng = np.random.default_rng(0)
+    n = 100
+    # keep the random part's spectral radius (~0.15*sqrt(n)) well
+    # inside the diagonal so the system is safely non-singular
+    a = np.eye(n) * 3.0 + 0.15 * rng.normal(size=(n, n))
+    aj = jnp.asarray(a + 0j)
+    b = jnp.asarray(rng.normal(size=n) + 0j)
+    x, stats = bicgstab_solve(lambda v: aj @ v, b, r2req=1e-24)
+    assert np.abs(np.asarray(aj @ x - b)).max() < 1e-9
