@@ -1,0 +1,80 @@
+"""Two-grid multigrid tests: transfer-operator identities and
+preconditioned-solve convergence on the Wilson operator."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qex_tpu.lattice import Lattice
+from qex_tpu.mg import mg_setup, mg_solve
+from qex_tpu.mg.twogrid import coarse_op, prolong, restrict
+from qex_tpu.ops import group, linalg
+from qex_tpu.physics import wilson as wl
+from qex_tpu.solvers.gcr import gcr_solve
+
+DT = jnp.complex128
+
+
+@pytest.fixture
+def system():
+    lat = Lattice((4, 4, 4, 4))
+    key = jax.random.PRNGKey(12)
+    u = jnp.stack([
+        linalg.expm(0.4 * group.random_tah(jax.random.fold_in(key, i),
+                                           lat.dims, lat.nc, DT))
+        for i in range(lat.nd)])
+    w = wl.new_wilson(lat, u, m=0.1, bc="pppp")
+    op = lambda v: wl.wilson_d(w, v)
+    b = (jax.random.normal(key, lat.dirac_shape())
+         + 1j * jax.random.normal(jax.random.fold_in(key, 1),
+                                  lat.dirac_shape())).astype(DT)
+    return lat, op, b
+
+
+def test_transfer_identities(system):
+    """R P = identity on the coarse space (block orthonormality), and
+    P R is a projector."""
+    lat, op, b = system
+    setup = mg_setup(lat, op, nvec=4, bs=2, dtype=DT)
+    key = jax.random.PRNGKey(5)
+    c = (jax.random.normal(key, (4, 2, 2, 2, 2))
+         + 1j * jax.random.normal(jax.random.fold_in(key, 1),
+                                  (4, 2, 2, 2, 2))).astype(DT)
+    c_back = restrict(setup, prolong(setup, c))
+    assert float(linalg.norm2(c_back - c)) < 1e-20 * float(
+        linalg.norm2(c))
+    v = b
+    pv = prolong(setup, restrict(setup, v))
+    ppv = prolong(setup, restrict(setup, pv))
+    assert float(linalg.norm2(ppv - pv)) < 1e-20 * float(
+        linalg.norm2(pv))
+
+
+def test_coarse_op_galerkin(system):
+    """D_c c == R D P c by construction."""
+    lat, op, b = system
+    setup = mg_setup(lat, op, nvec=4, bs=2, dtype=DT)
+    dc = coarse_op(setup, op)
+    key = jax.random.PRNGKey(6)
+    c = (jax.random.normal(key, (4, 2, 2, 2, 2)) + 0j).astype(DT)
+    ref = restrict(setup, op(prolong(setup, c)))
+    assert float(linalg.norm2(dc(c) - ref)) == 0.0
+
+
+def test_mg_solve_converges(system):
+    lat, op, b = system
+    x, stats, setup = mg_solve(lat, op, b, nvec=6, bs=2, r2req=1e-16,
+                               m=10, max_restarts=30)
+    rel = float(linalg.norm2(op(x) - b)) / float(linalg.norm2(b))
+    assert rel < 1e-12, (rel, int(stats.iterations))
+
+
+def test_mg_beats_plain_gcr_iterations(system):
+    """The two-grid preconditioner must reduce outer iterations."""
+    lat, op, b = system
+    x1, s1 = gcr_solve(op, b, r2req=1e-12, m=10, max_restarts=30)
+    x2, s2, _ = mg_solve(lat, op, b, nvec=6, bs=2, r2req=1e-12, m=10,
+                         max_restarts=30)
+    assert int(s2.iterations) < int(s1.iterations), (
+        int(s1.iterations), int(s2.iterations))
