@@ -52,9 +52,8 @@ def main(argv=None) -> int:
                 for i in range(lat.nd)])
         u = hot(meta["parallel_seed"])
 
-    step_w = jax.jit(lambda k, uu: theory.hmc_step(k, uu,
-                                                   always_accept=True))
-    step_m = jax.jit(lambda k, uu: theory.hmc_step(k, uu))
+    step = jax.jit(lambda k, uu, warm: theory.hmc_step(
+        k, uu, always_accept=warm))
     meas = jax.jit(lambda uu: (
         jnp.real(loops.plaquette(lat, uu)).astype(jnp.float32),
         jnp.real(loops.polyakov_loop(lat, uu)).astype(jnp.float32)))
@@ -65,7 +64,7 @@ def main(argv=None) -> int:
         key = jax.random.fold_in(jax.random.PRNGKey(meta["serial_seed"]),
                                  traj)
         warm = traj < args.warmup
-        u, st = (step_w if warm else step_m)(key, u)
+        u, st = step(key, u, warm)
         pl, plp = meas(u)
         acc = bool(st.accepted)
         n_acc += int(acc and not warm)

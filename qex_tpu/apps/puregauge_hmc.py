@@ -78,22 +78,19 @@ def main(argv=None) -> int:
                 for i in range(lat.nd)])
         u = hot(args.seed)
 
-    def mk_step(always):
-        @jax.jit
-        def step(key, u):
-            u, st = hmc.hmc_step(key, u, act, frc, scheme, args.tau,
-                                 args.steps, always_accept=always)
-            pl = loops.plaquette(lat, u)
-            return u, st, jnp.real(pl).astype(jnp.float32)
-        return step
+    @jax.jit
+    def step(key, u, warm):
+        u, st = hmc.hmc_step(key, u, act, frc, scheme, args.tau,
+                             args.steps, always_accept=warm)
+        pl = loops.plaquette(lat, u)
+        return u, st, jnp.real(pl).astype(jnp.float32)
 
-    step_w, step_m = mk_step(True), mk_step(False)
     n_acc = 0
     for traj in range(args.ntraj):
         t0 = time.time()
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), traj)
         warm = traj < args.warmup
-        u, st, pl = (step_w if warm else step_m)(key, u)
+        u, st, pl = step(key, u, warm)
         acc = bool(st.accepted)
         n_acc += int(acc and not warm)
         print(f"traj {traj}: dH {float(st.dH):+.6g} "

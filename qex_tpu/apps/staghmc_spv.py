@@ -158,16 +158,15 @@ def main(argv=None) -> int:
                 jnp.imag(ploop).astype(jnp.float32),
                 jnp.real(plq6).astype(jnp.float32))
 
-    step_acc = jax.jit(lambda k, uu: theory.hmc_step(k, uu,
-                                                     always_accept=True))
-    step_met = jax.jit(lambda k, uu: theory.hmc_step(k, uu))
+    step = jax.jit(lambda k, uu, warm: theory.hmc_step(
+        k, uu, always_accept=warm))
 
     n_acc = 0
     for traj in range(start_traj, start_traj + ntraj):
         t0 = time.time()
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.serial_seed), traj)
         warmup = traj < cfg.no_metropolis_until
-        u, st = (step_acc if warmup else step_met)(key, u)
+        u, st = step(key, u, warmup)
         dH = float(st.dH)
         acc = bool(st.accepted)
         n_acc += int(acc and not warmup)

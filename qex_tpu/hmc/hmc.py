@@ -47,12 +47,13 @@ def hmc_step(key: jax.Array, u: jax.Array,
              action_fn: Callable[[jax.Array], jax.Array],
              force_fn: Callable[[jax.Array], jax.Array],
              scheme: Integrator, tau: float, nsteps: int,
-             always_accept: bool = False,
+             always_accept: bool | jax.Array = False,
              ) -> tuple[jax.Array, HMCState]:
     """One HMC trajectory: refresh p, integrate, Metropolis.
 
     ``always_accept`` disables the accept test (QEX's warmup
-    ``no_metropolis_until`` behavior, staghmc_spv.nim).
+    ``no_metropolis_until`` behavior, staghmc_spv.nim); it may be a
+    traced boolean so one compiled step covers warmup and production.
     jit-safe with static (scheme, tau, nsteps, action_fn, force_fn).
     """
     nd, nc = u.shape[0], u.shape[1]
@@ -66,13 +67,46 @@ def hmc_step(key: jax.Array, u: jax.Array,
     h_new = kinetic_energy(p_new) + action_fn(u_new)
     dH = h_new - h_old
 
+    r = jax.random.uniform(ka, (), jnp.float32)
+    acc = jnp.logical_or(jnp.asarray(always_accept), jnp.log(r) < -dH)
+    u_out = jnp.where(acc, u_new, u)
+    return u_out, HMCState(accepted=acc, dH=dH, h_old=h_old, h_new=h_new)
+
+
+def hmc_step_guided(key: jax.Array, u: jax.Array,
+                    target_action_fn: Callable[[jax.Array], jax.Array],
+                    guide_force_fn: Callable[[jax.Array], jax.Array],
+                    scheme: Integrator, tau: float, nsteps: int,
+                    always_accept: bool = False,
+                    ) -> tuple[jax.Array, HMCState]:
+    """HMC with a GUIDE action driving the molecular dynamics and the
+    TARGET action in the Metropolis test.
+
+    TPU-native replacement for QEX's src/nhmc/ 'Nambu' HMC
+    (puregaugenhmc.nim): MD forces come from e.g. a stout-smeared or
+    topological-charge-augmented guide action, while detailed balance
+    w.r.t. the target measure is preserved because the leapfrog-family
+    integrator stays reversible and volume-preserving for ANY force
+    field -- only acceptance uses H_target.
+    """
+    nd, nc = u.shape[0], u.shape[1]
+    kp, ka = jax.random.split(key)
+    p = jax.vmap(lambda k: group.random_tah(
+        k, u.shape[3:], nc, u.dtype))(jax.random.split(kp, nd))
+
+    h_old = kinetic_energy(p) + target_action_fn(u)
+    u_new, p_new = integrate(scheme, u, p, tau, nsteps, guide_force_fn,
+                             gauge_update_u)
+    h_new = kinetic_energy(p_new) + target_action_fn(u_new)
+    dH = h_new - h_old
     if always_accept:
         acc = jnp.array(True)
     else:
         r = jax.random.uniform(ka, (), jnp.float32)
         acc = jnp.log(r) < -dH
     u_out = jnp.where(acc, u_new, u)
-    return u_out, HMCState(accepted=acc, dH=dH, h_old=h_old, h_new=h_new)
+    return u_out, HMCState(accepted=acc, dH=dH, h_old=h_old,
+                           h_new=h_new)
 
 
 def check_reverse(u: jax.Array, p: jax.Array,

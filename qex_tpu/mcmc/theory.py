@@ -189,11 +189,13 @@ class LatticeFieldTheory:
         return h
 
     def hmc_step(self, key: jax.Array, u: jax.Array, nsteps_scale: int = 1,
-                 always_accept: bool = False):
+                 always_accept: bool | jax.Array = False):
         """One full trajectory: momenta + pseudofermion heatbath, MD,
         Metropolis (QEX runHamiltonianMonteCarlo :13-76).
 
-        jit-safe; returns (u', HMCState).
+        jit-safe; ``always_accept`` may be a TRACED boolean (warmup
+        flag), so one compiled step serves both phases.  Returns
+        (u', HMCState).
         """
         lat = self.lat
         kp, kf, ka = jax.random.split(key, 3)
@@ -209,11 +211,9 @@ class LatticeFieldTheory:
                                 transform=transform)
         h_new = self.hamiltonian(u1, p1, phis)
         dH = h_new - h_old
-        if always_accept:
-            acc = jnp.array(True)
-        else:
-            r = jax.random.uniform(ka, (), jnp.float32)
-            acc = jnp.log(r) < -dH
+        r = jax.random.uniform(ka, (), jnp.float32)
+        acc = jnp.logical_or(jnp.asarray(always_accept),
+                             jnp.log(r) < -dH)
         u_out = jnp.where(acc, u1, u)
         return u_out, hmc_mod.HMCState(accepted=acc, dH=dH,
                                        h_old=h_old, h_new=h_new)

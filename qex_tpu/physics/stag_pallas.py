@@ -217,6 +217,10 @@ def dslash_pallas(s: PallasStagEO, x_split: jax.Array, parity_out: int,
 
     flops = 594 * (lat.volume // 2)
     bytes_acc = (8 * 72 + 8 * 24 + 24) * (lat.volume // 2)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"))
     return pl.pallas_call(
         partial(_dslash_kernel, X, parity_out, nzb),
         grid=grid,
@@ -227,6 +231,7 @@ def dslash_pallas(s: PallasStagEO, x_split: jax.Array, parity_out: int,
                                       bytes_accessed=bytes_acc,
                                       transcendentals=0),
         interpret=interpret,
+        **kwargs,
     )(x_split, x_split, x_split, x_split, x_split, a, b,
       b[:, 2:3], b[:, 3:4])
 
