@@ -98,6 +98,43 @@ def _4mn3f1gp(lam: float = 0.2470939580390842) -> Integrator:
         ("FG", 0.5, 0.5 * xi), ("T", lam)))
 
 
+def _scale_steps(steps, w):
+    return [(s[0], s[1] * w) if s[0] in ("T", "V")
+            else (s[0], s[1] * w, s[2] * w * w) for s in steps]
+
+
+def _merge_adjacent(steps):
+    out = []
+    for s in steps:
+        if out and out[-1][0] == s[0] and s[0] in ("T", "V"):
+            out[-1] = (s[0], out[-1][1] + s[1])
+        else:
+            out.append(tuple(s))
+    return tuple(out)
+
+
+def _compose(base: Integrator, w_outer: float, name: str) -> Integrator:
+    """Triple-jump composition S(w t) S((1-2w) t) S(w t) (Yoshida)."""
+    seq = (_scale_steps(base.steps, w_outer)
+           + _scale_steps(base.steps, 1.0 - 2.0 * w_outer)
+           + _scale_steps(base.steps, w_outer))
+    return Integrator(name, _merge_adjacent(seq))
+
+
+def _yoshida4() -> Integrator:
+    """Yoshida 4th order: triple-jump of leapfrog with
+    w = 1/(2 - 2^(1/3))."""
+    w = 1.0 / (2.0 - 2.0 ** (1.0 / 3.0))
+    return _compose(_lf(), w, "YOSHIDA4")
+
+
+def _yoshida6() -> Integrator:
+    """Yoshida 6th order: triple-jump of the 4th-order scheme with
+    w = 1/(2 - 2^(1/5))."""
+    w = 1.0 / (2.0 - 2.0 ** (1.0 / 5.0))
+    return _compose(_yoshida4(), w, "YOSHIDA6")
+
+
 _REGISTRY: dict[str, Callable[..., Integrator]] = {
     "LF": _lf,
     "LEAPFROG": _lf,
@@ -108,6 +145,9 @@ _REGISTRY: dict[str, Callable[..., Integrator]] = {
     "4MN5FP": _4mn5fp,
     "FGI": _fgi,
     "4MN3F1GP": _4mn3f1gp,
+    "YOSHIDA4": _yoshida4,
+    "YOSHIDA6": _yoshida6,
+    "6MN7FV": _yoshida6,   # stand-in: 6th-order composition scheme
 }
 
 INTEGRATORS = tuple(_REGISTRY)

@@ -61,20 +61,61 @@ STAG_CHANNELS = {
 }
 
 
+def wall_source(lat: Lattice, color: int, t: int = 0,
+                dtype=jnp.complex64) -> jax.Array:
+    """Color wall source on timeslice ``t`` (sources.nim wall
+    sources)."""
+    b = jnp.zeros(lat.vector_shape(), dtype)
+    return b.at[color, ..., t].set(1.0)
+
+
+def momentum_phase(lat: Lattice, p: tuple[int, ...],
+                   dtype=jnp.complex64) -> jax.Array:
+    """exp(-i 2pi p.x/L) over spatial coords (conn4d momentum
+    projection, conn4d.nim:128-190)."""
+    ph = jnp.zeros(lat.dims, jnp.finfo(dtype).dtype)
+    for mu, k in enumerate(p):
+        if k == 0:
+            continue
+        shape = [1] * lat.nd
+        shape[mu] = lat.dims[mu]
+        coord = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), mu)
+        ph = ph + (2.0 * jnp.pi * k / lat.dims[mu]) * coord
+    return jnp.exp(-1j * ph).astype(dtype)
+
+
 def stag_mesons_from_prop(lat: Lattice, props: jax.Array,
-                          channels=("pion5",)) -> dict[str, jax.Array]:
+                          channels=("pion5",),
+                          momenta=((0, 0, 0),)) -> dict:
     """Correlators from stacked color propagators (nc, nc, *dims):
     props[a] solves D G_a = delta e_a.
 
-    Returns {channel: C(t)} with C summed over spatial volume per
-    t-slice (QEX stagMesons :14).
+    Returns {channel: C(n_momenta, t)} with each momentum projected
+    over the spatial volume per t-slice (QEX stagMesons :14 +
+    conn4d's momentum projection).  Zero momentum -> real C(t).
     """
     dens = jnp.sum(jnp.abs(props) ** 2, axis=(0, 1))  # (*dims,)
     spatial_axes = tuple(range(lat.nd - 1))
     out = {}
     for ch in channels:
         sgn = _sign_field(lat, STAG_CHANNELS[ch])
-        out[ch] = jnp.sum(dens * sgn, axis=spatial_axes)
+        zero_only = (len(momenta) == 1
+                     and all(k == 0 for k in momenta[0]))
+        if zero_only:
+            out[ch] = jnp.sum(dens * sgn, axis=spatial_axes)
+            continue
+        cdtype = (jnp.complex64 if dens.dtype == jnp.float32
+                  else jnp.complex128)
+        rows = []
+        for p in momenta:
+            if all(k == 0 for k in p):
+                rows.append(jnp.sum(dens * sgn, axis=spatial_axes)
+                            .astype(cdtype))
+            else:
+                ph = momentum_phase(lat, p, cdtype)
+                rows.append(jnp.sum(dens * sgn * ph,
+                                    axis=spatial_axes))
+        out[ch] = jnp.stack(rows)
     return out
 
 

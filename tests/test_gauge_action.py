@@ -193,3 +193,28 @@ def test_integrator_factory_params():
     assert i.steps[0] == ("V", 0.20)
     with pytest.raises(ValueError):
         integrators.get_integrator("nope")
+
+
+def test_yoshida_order_scaling(lat, u):
+    """Yoshida4 ~ dt^4 and Yoshida6 better than Yoshida4 at same dt."""
+    from functools import partial
+    c = ga.wilson(5.0)
+    act = partial(ga.full_action, c, lat)
+    frc = partial(ga.gauge_force, c, lat)
+    p = rand_tah_gauge(jax.random.PRNGKey(77), lat)
+    h0 = float(hmc.kinetic_energy(p) + act(u))
+
+    def dh(scheme, nsteps):
+        u1, p1 = integrators.integrate(scheme, u, p, 1.0, nsteps, frc,
+                                       hmc.gauge_update_u)
+        return float(hmc.kinetic_energy(p1) + act(u1)) - h0
+
+    # asymptotic regime needs moderately fine steps (the negative
+    # Yoshida substeps amplify coarse-step error)
+    y4 = integrators.get_integrator("YOSHIDA4")
+    d8, d16 = dh(y4, 8), dh(y4, 16)
+    assert abs(d16) < abs(d8) / 8.0, (d8, d16)  # ~16x for dt^4
+    y6 = integrators.get_integrator("YOSHIDA6")
+    assert abs(dh(y6, 16)) < abs(d16)
+    # 6MN7FV alias resolves to a 6th-order scheme
+    assert integrators.get_integrator("6MN7FV").name == "YOSHIDA6"
