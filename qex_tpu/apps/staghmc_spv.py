@@ -183,6 +183,16 @@ def main(argv=None) -> int:
         if cfg.ploop_freq and (traj + 1) % cfg.ploop_freq == 0:
             _, plr, pli, _ = measure(u)
             print(f"MEASploop {float(plr):.10g} {float(pli):.10g}")
+        if cfg.pbp_freq and (traj + 1) % cfg.pbp_freq == 0:
+            from qex_tpu.observables import condensate
+            from qex_tpu.solvers.base import SolverParams
+            pbp = condensate.pbp_staggered(
+                jax.random.fold_in(jax.random.PRNGKey(
+                    cfg.parallel_seed), 10_000 + traj),
+                lat, u, cfg.mass, bc=cfg.bc,
+                params=SolverParams(r2req=cfg.a_tol,
+                                    maxits=cfg.a_maxits, restarts=3))
+            print(f"MEASpbp {float(pbp):.10g}")
         if cfg.save_freq and (traj + 1) % cfg.save_freq == 0:
             fn = os.path.join(cfg.save_path,
                               f"{cfg.save_filename}_{traj + 1}")

@@ -106,3 +106,45 @@ def test_checkpoint_roundtrip(tmp_path, lat, u):
     assert traj == 13
     assert rng == {"seed": 7, "counter": 42}
     assert float(linalg.norm2(g - u)) == 0.0
+
+
+def test_modfile_roundtrip(tmp_path, lat, u):
+    from qex_tpu.io import modfile
+    p = str(tmp_path / "eigs.mod")
+    w = modfile.ModFileWriter(p, userdata="<info>eigvecs</info>")
+    vec = np.asarray(u[0])  # (nc, nc, *dims) as a stand-in field
+    w.add_field(modfile.pack_key((0, 3)), lat, vec, precision="D")
+    w.add(b"rawkey", b"hello-payload")
+    w.close()
+    r = modfile.ModFileReader(p)
+    assert r.userdata == "<info>eigvecs</info>"
+    assert modfile.unpack_key(modfile.pack_key((0, 3))) == (0, 3)
+    back = r.read_field(modfile.pack_key((0, 3)), lat, (3, 3),
+                        precision="D")
+    assert np.abs(back - vec).max() < 1e-15
+    assert r.read(b"rawkey", 13) == b"hello-payload"
+    r.close()
+
+
+def test_modfile_checksum_detects_corruption(tmp_path, lat, u):
+    from qex_tpu.io import modfile
+    p = str(tmp_path / "bad.mod")
+    w = modfile.ModFileWriter(p)
+    w.add(b"k", b"x" * 64)
+    w.close()
+    raw = bytearray(open(p, "rb").read())
+    raw[-6] ^= 0xFF  # corrupt inside the map body
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="checksum|magic"):
+        modfile.ModFileReader(p)
+
+
+def test_timeslice_roundtrip(tmp_path, lat, u):
+    from qex_tpu.io import timeslice
+    p = str(tmp_path / "ts.bin")
+    arr = np.asarray(u[1])  # (nc, nc, *dims)
+    timeslice.write_timeslices(p, lat, arr, precision="D")
+    for t in (0, lat.dims[-1] - 1):
+        back = timeslice.read_timeslice(p, lat, (3, 3), t,
+                                        precision="D")
+        assert np.abs(back[..., 0] - arr[..., t]).max() < 1e-15

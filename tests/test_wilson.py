@@ -103,3 +103,33 @@ def test_cgne_solve(lat, setup):
     r = wl.wilson_d(w, x) - psi
     rel = float(linalg.norm2(r)) / float(linalg.norm2(psi))
     assert rel < 1e-12, (rel, int(stats.iterations))
+
+
+def test_eo_preconditioned_solve(lat, setup):
+    """eo Schur solve agrees with full-lattice CGNE and converges in
+    fewer matvec-equivalents."""
+    u, psi, chi = setup
+    w = wl.new_wilson(lat, u, m=0.3, bc="pppa")
+    weo = wl.new_wilson_eo(lat, u, m=0.3, bc="pppa")
+    x, stats = wl.solve_eo(weo, psi, SolverParams(r2req=1e-18,
+                                                  maxits=2000))
+    r = wl.wilson_d(w, x) - psi
+    rel = float(linalg.norm2(r)) / float(linalg.norm2(psi))
+    assert rel < 1e-12, (rel, int(stats.iterations))
+
+
+def test_eo_hop_matches_full(lat, setup):
+    """Packed eo hopping term equals the full-lattice hop."""
+    from qex_tpu.ops import eo as eomod
+    u, psi, chi = setup
+    w = wl.new_wilson(lat, u, m=0.2, bc="pppp")
+    weo = wl.new_wilson_eo(lat, u, m=0.2, bc="pppp")
+    h_full = wl.wilson_hop(w, psi)
+    he_ref, ho_ref = eomod.pack(h_full, lat.nd)
+    pe, po = eomod.pack(psi, lat.nd)
+    he = wl.wilson_hop_eo(weo, po, parity_out=0)
+    ho = wl.wilson_hop_eo(weo, pe, parity_out=1)
+    assert float(linalg.norm2(he - he_ref)) < 1e-20 * float(
+        linalg.norm2(he_ref))
+    assert float(linalg.norm2(ho - ho_ref)) < 1e-20 * float(
+        linalg.norm2(ho_ref))
