@@ -48,7 +48,7 @@ class FermionSpec:
     """One staggered matter field (QEX addStaggeredFermion /
     addStaggeredBoson)."""
 
-    kind: str          # "fermion" | "boson" | "rooted"
+    kind: str          # "fermion" | "boson" | "rooted" | "hisq"
     mass: float
     steps: int = 10
     scheme: str = "2MN"
@@ -142,6 +142,11 @@ class LatticeFieldTheory:
                 base = stag_hmc.StagRootedFermion(
                     lat, spec.mass, nf=spec.nf, bc=self.bc,
                     degree=spec.degree, params=self.solver_params)
+            elif spec.kind == "hisq":
+                # HISQ does its own (fat7+naik) smearing internally
+                base = stag_hmc.HisqFermion(lat, spec.mass, bc=self.bc,
+                                            params=self.solver_params)
+                spec = dataclasses.replace(spec, smeared=False)
             else:
                 raise ValueError(f"unknown matter kind {spec.kind!r}")
             self._add_matter_term(terms, base,

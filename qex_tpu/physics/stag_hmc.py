@@ -164,6 +164,92 @@ class StagBoson:
         return make_quad_action(self.lat, self.bc, self.m)
 
 
+@dataclasses.dataclass(frozen=True)
+class HisqFermion:
+    """HISQ pseudofermion: S = phi^dag A3(m)^{-1} phi with the fat+naik
+    normal operator A3 = m^2 - D3_eo D3_oe built from
+    gauge.fat7.hisq_links on PHASED links (MILC convention: stagPhase +
+    setBC folded in before fattening, hisqLinks.nim usage).
+
+    Forces flow by AD through the two-level smear + projection + naik
+    construction via the implicit-function custom_vjp (one extra
+    solve) -- replacing the reference's fat7lderiv + projectUDeriv +
+    naik outer-product chain.  QEX parity: examples/hisqhmc.nim.
+    """
+
+    lat: Lattice
+    m: float
+    bc: str = "pppa"
+    proj_iters: int = 14
+    params: SolverParams = SolverParams(r2req=1e-12, maxits=2000, restarts=3)
+
+    def _links(self, u):
+        from ..gauge.fat7 import hisq_links
+        g = st.phase_links(self.lat, u, self.bc)
+        return hisq_links(self.lat, g, proj_iters=self.proj_iters)
+
+    def _a3(self, u, x_e):
+        fl, ll = self._links(u)
+        s3 = st.new_stag3_eo(self.lat, fl, ll)
+        return st.d2ee3(s3, x_e, self.m)
+
+    def heatbath(self, key: jax.Array, u: jax.Array) -> jax.Array:
+        xi = gaussian_eta(key, self.lat, u.dtype)
+        fl, ll = self._links(u)
+        s3 = st.new_stag3_eo(self.lat, fl, ll)
+        xi_e, xi_o = eo.pack(xi, self.lat.nd)
+        # phi = (D3^dag xi)_e = m xi_e - D3_eo xi_o : Cov = A3
+        return self.m * xi_e - st.dslash3_eo(s3, xi_o, parity_out=0)
+
+    def make_action_fn(self) -> Callable:
+        def solve_x(u, phi):
+            fl, ll = self._links(u)
+            s3 = st.new_stag3_eo(self.lat, fl, ll)
+            op = lambda v: st.d2ee3(s3, v, self.m)
+            from ..solvers import cg as cgmod
+            x, _ = cgmod.cg_solve_restarted(
+                op, phi, r2req=self.params.r2req,
+                maxits=self.params.maxits,
+                restarts=self.params.restarts)
+            return x
+
+        @jax.custom_vjp
+        def s_act(u, phi):
+            return jnp.real(linalg.dot(phi, solve_x(u, phi)))
+
+        def fwd(u, phi):
+            x = solve_x(u, phi)
+            return jnp.real(linalg.dot(phi, x)), (u, phi, x)
+
+        def bwd(res, g):
+            u, phi, x = res
+
+            def quad(uu):
+                return -jnp.real(linalg.dot(x, self._a3(uu, x)))
+
+            gu = jax.grad(quad)(u)
+            return (g * gu, g * 2.0 * jnp.conj(x))
+
+        s_act.defvjp(fwd, bwd)
+        return s_act
+
+    def action(self, u, phi):
+        return self.make_action_fn()(u, phi)
+
+    def solve_multi(self, u: jax.Array, b_e: jax.Array,
+                    masses) -> tuple[list, object]:
+        """HISQ multi-mass even-site solve (config #5: 32^4x64 HISQ
+        multi-mass CG): one Krylov space over the naik operator."""
+        from ..solvers import cgm
+        fl, ll = self._links(u)
+        s3 = st.new_stag3_eo(self.lat, fl, ll)
+        base = lambda x: st.d2dd3(s3, x, parity=0)
+        shifts = [m * m for m in masses]
+        return cgm.cg_multishift(base, b_e, shifts,
+                                 r2req=self.params.r2req,
+                                 maxits=self.params.maxits)
+
+
 def fermion_force(action_fn: Callable, u: jax.Array, phi: jax.Array
                   ) -> jax.Array:
     """TAH MD force of a fermion/boson action term at fixed phi."""

@@ -258,6 +258,13 @@ def d2ee3(s: Staggered3EO, x_e: jax.Array, m: float) -> jax.Array:
     return (m * m) * x_e - y
 
 
+def d2dd3(s: Staggered3EO, x: jax.Array, parity: int = 0) -> jax.Array:
+    """Mass-free fat+naik normal operator (multishift base)."""
+    other = 1 - parity
+    t = dslash3_eo(s, x, parity_out=other)
+    return -dslash3_eo(s, t, parity_out=parity)
+
+
 def d2dd(s: StaggeredEO, x: jax.Array, parity: int = 0) -> jax.Array:
     """Mass-free normal operator A x = -D_po,ps D_ps,po x on ``parity``.
 

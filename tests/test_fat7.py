@@ -112,3 +112,56 @@ def test_stag3_eo_matches_full(lat, u):
     h = linalg.dot(xe, ye)
     assert abs(jnp.imag(h)) < 1e-9 * abs(h)
     assert float(jnp.real(h)) > 0
+
+
+def test_hisq_fermion_action(lat, u):
+    """HISQ pseudofermion: heatbath distribution + implicit-diff force
+    vs finite differences (AD through the full two-level smear)."""
+    import jax
+    from qex_tpu.physics import stag_hmc
+    from qex_tpu.solvers.base import SolverParams
+    f = stag_hmc.HisqFermion(lat, m=0.5, bc="pppp",
+                             params=SolverParams(r2req=1e-16,
+                                                 maxits=2000,
+                                                 restarts=2))
+    phi = f.heatbath(jax.random.PRNGKey(1), u)
+    dofs = lat.nc * lat.volume // 2
+    s0 = float(f.action(u, phi))
+    assert abs(s0 - dofs) < 6 * np.sqrt(dofs), (s0, dofs)
+    s_act = f.make_action_fn()
+    frc = stag_hmc.fermion_force(s_act, u, phi)
+    p = jax.vmap(lambda k: group.random_tah(k, lat.dims, lat.nc, DT))(
+        jax.random.split(jax.random.PRNGKey(5), lat.nd))
+
+    def s_at(t):
+        ex = jax.vmap(linalg.expm)(t * p)
+        return float(s_act(jnp.einsum("dab...,dbc...->dac...", ex, u),
+                           phi))
+
+    h = 1e-5
+    num = (s_at(h) - s_at(-h)) / (2 * h)
+    ana = float(-jnp.sum(jnp.real(jnp.einsum("dab...,dba...->", frc,
+                                             p))))
+    assert abs(num - ana) < 1e-4 * max(1.0, abs(num)), (num, ana)
+
+
+def test_hisq_multimass(lat, u):
+    import jax
+    from qex_tpu.physics import stag_hmc
+    from qex_tpu.solvers.base import SolverParams
+    from qex_tpu.physics import staggered as stg
+    from qex_tpu.gauge.fat7 import hisq_links
+    f = stag_hmc.HisqFermion(lat, m=0.1, bc="pppp",
+                             params=SolverParams(r2req=1e-18,
+                                                 maxits=3000))
+    key = jax.random.PRNGKey(9)
+    b = (jax.random.normal(key, (lat.nc,) + lat.dims[:-1]
+                           + (lat.dims[-1] // 2,)) + 0j).astype(DT)
+    masses = [0.1, 0.4]
+    xs, stats = f.solve_multi(u, b, masses)
+    g = stg.phase_links(lat, u, "pppp")
+    fl, ll = hisq_links(lat, g)
+    s3 = stg.new_stag3_eo(lat, fl, ll)
+    for m, x in zip(masses, xs):
+        r = stg.d2ee3(s3, x, m) - b
+        assert float(linalg.norm2(r)) / float(linalg.norm2(b)) < 1e-12
