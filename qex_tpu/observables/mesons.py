@@ -127,12 +127,10 @@ def stag_meson_correlators(lat: Lattice, u: jax.Array, m: float,
     """Point-source staggered meson correlators: nc solves + contraction
     (QEX fpvaMeas pipeline for the F channel)."""
     s = st.new_stag_eo(lat, u, bc)
-    props = []
-    for a in range(lat.nc):
-        b = point_source(lat, a, site, u.dtype)
-        x, _ = stag_solve.solve(s, b, m, params)
-        props.append(x)
-    props = jnp.stack(props)  # (nc_src, nc, *dims)
+    bs = jnp.stack([point_source(lat, a, site, u.dtype)
+                    for a in range(lat.nc)])
+    # batched multi-RHS solve: link loads shared across the nc sources
+    props, _ = stag_solve.solve_batched(s, bs, m, params)
     return stag_mesons_from_prop(lat, props, channels)
 
 
