@@ -1,0 +1,165 @@
+"""Run the driver's BASELINE.md config ladder end to end.
+
+  1. 8^4  SU(3) staggered eo CG, m=0.1, hot start
+  2. 16^4 Wilson-action gradient flow to t=1.0
+  3. 16^3x32 quenched SU(3) HMC (Wilson + Omelyan 2MN)
+  4. 24^4 nHYP staggered+PV HMC  (run via apps/staghmc_spv; see --help)
+  5. 32^3x64 HISQ multi-mass CG (single chip) + sharded dryrun
+
+Prints one summary line per config.  Usage:
+    python bench_configs.py [--cpu] [--configs 1 2 3 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--configs", type=int, nargs="+",
+                    default=[1, 2, 3, 5])
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from qex_tpu.lattice import Lattice
+    from qex_tpu.gauge import action as ga
+    from qex_tpu.gauge import flow as gf
+    from qex_tpu.gauge import loops
+    from qex_tpu.hmc import hmc, integrators
+    from qex_tpu.ops import group, linalg
+    from qex_tpu.physics import stag_solve, staggered as st
+    from qex_tpu.solvers.base import SolverParams
+    from functools import partial
+
+    dtype = jnp.complex64
+    dev = jax.devices()[0]
+    print(f"# bench_configs on {dev.device_kind}")
+
+    def hot(lat, seed=7, scale=0.7):
+        @jax.jit
+        def mk(s):
+            key = jax.random.PRNGKey(s)
+            return jnp.stack([
+                linalg.expm(scale * group.random_tah(
+                    jax.random.fold_in(key, i), lat.dims, lat.nc,
+                    dtype)) for i in range(lat.nd)])
+        return mk(seed)
+
+    def sync(x):
+        return float(jnp.real(jnp.asarray(x)).ravel()[0])
+
+    if 1 in args.configs:
+        lat = Lattice((8, 8, 8, 8))
+        u = hot(lat)
+        s = st.new_stag_eo(lat, u, bc="pppp")
+        b = jax.random.normal(jax.random.PRNGKey(1),
+                              lat.vector_shape(), jnp.float32
+                              ).astype(dtype)
+
+        @jax.jit
+        def cfg1(ge, go, bb):
+            so = st.StaggeredEO(lat, ge, go)
+            x, stats = stag_solve.solve(so, bb, 0.1,
+                                        SolverParams(r2req=1e-12,
+                                                     maxits=1000,
+                                                     restarts=2))
+            return jnp.real(stats.r2).astype(jnp.float32), \
+                stats.iterations.astype(jnp.float32)
+
+        r2, its = cfg1(s.g_e, s.g_o, b)
+        sync(r2)
+        t0 = time.perf_counter()
+        r2, its = cfg1(s.g_e, s.g_o, b)
+        r2v = sync(r2)
+        dt = time.perf_counter() - t0
+        print(f"CONFIG1 8^4 eo CG m=0.1: {dt:.3f} s, "
+              f"its={int(sync(its))}, rel_r2={r2v:.2e}")
+
+    if 2 in args.configs:
+        lat = Lattice((16, 16, 16, 16))
+        u = hot(lat, scale=0.3)
+        c = gf.wilson_flow_coeffs(lat.nc)
+        eps, steps = 0.02, 50
+
+        @jax.jit
+        def cfg2(uu):
+            v, ms = gf.flow(c, lat, uu, eps, steps)
+            return jnp.real(ms.t2e_clover[-1]).astype(jnp.float32)
+
+        t2e = cfg2(u)
+        sync(t2e)
+        t0 = time.perf_counter()
+        t2e = cfg2(u)
+        val = sync(t2e)
+        dt = time.perf_counter() - t0
+        print(f"CONFIG2 16^4 Wilson flow t=1.0 ({steps} RK3 steps): "
+              f"{dt:.3f} s, t2E_clover={val:.5f}")
+
+    if 3 in args.configs:
+        lat = Lattice((16, 16, 16, 32))
+        c = ga.wilson(6.0)
+        act = partial(ga.full_action, c, lat)
+        frc = partial(ga.gauge_force, c, lat)
+        u = group.unit_gauge(lat, dtype)
+        scheme = integrators.get_integrator("2MN")
+
+        @jax.jit
+        def cfg3(key, uu):
+            uu, stt = hmc.hmc_step(key, uu, act, frc, scheme, 1.0, 20)
+            return uu, stt.dH, jnp.real(
+                loops.plaquette(lat, uu)).astype(jnp.float32)
+
+        u, dH, pl = cfg3(jax.random.PRNGKey(3), u)
+        sync(pl)
+        t0 = time.perf_counter()
+        u, dH, pl = cfg3(jax.random.PRNGKey(4), u)
+        plv = sync(pl)
+        dt = time.perf_counter() - t0
+        print(f"CONFIG3 16^3x32 quenched HMC (2MN, 20 steps): "
+              f"{dt:.3f} s/traj, dH={sync(dH):+.4f}, plaq={plv:.5f}")
+
+    if 5 in args.configs:
+        lat = Lattice((32, 32, 32, 64))
+        u = hot(lat)
+        from qex_tpu.gauge.fat7 import hisq_links
+        from qex_tpu.solvers import cgm
+
+        @jax.jit
+        def cfg5(uu, bb):
+            g = st.phase_links(lat, uu, "pppa")
+            fl, ll = hisq_links(lat, g)
+            s3 = st.new_stag3_eo(lat, fl, ll)
+            base = lambda x: st.d2dd3(s3, x, parity=0)
+            masses = [0.05, 0.1, 0.2, 0.4]
+            xs, stats = cgm.cg_multishift(base, bb,
+                                          [m * m for m in masses],
+                                          r2req=1e-10, maxits=600)
+            return (jnp.real(stats.r2).astype(jnp.float32),
+                    stats.iterations.astype(jnp.float32))
+
+        b = jax.random.normal(jax.random.PRNGKey(5),
+                              (lat.nc,) + lat.dims[:-1]
+                              + (lat.dims[-1] // 2,), jnp.float32
+                              ).astype(dtype)
+        r2, its = cfg5(u, b)
+        sync(r2)
+        t0 = time.perf_counter()
+        r2, its = cfg5(u, b)
+        r2v = sync(r2)
+        dt = time.perf_counter() - t0
+        print(f"CONFIG5 32^3x64 HISQ 4-mass multishift CG: {dt:.3f} s,"
+              f" its={int(sync(its))}, worst rel_r2={r2v:.2e}")
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
