@@ -23,8 +23,6 @@ vectorization.  Landau gauge: dirs = all; Coulomb: dirs = spatial.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 

@@ -23,7 +23,7 @@ Luscher's RK3 (appendix C of 1006.4518):
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ loops; XLA fuses the whole contraction per (mu, nu) plane.
 
 from __future__ import annotations
 
-import itertools
 import math
 
 import jax

@@ -12,7 +12,6 @@ steps (matching the reference's per-trajectory host loop).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, NamedTuple
 
 import jax

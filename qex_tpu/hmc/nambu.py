@@ -22,7 +22,6 @@ forces come from jax.grad (replacing purestout's hand chain).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable
 
 import jax

@@ -14,8 +14,6 @@ measurement configs.
 from __future__ import annotations
 
 import json
-from typing import Any
-
 from ..gauge import action as ga
 from ..gauge.smear import HypCoefs
 from ..lattice import Lattice

@@ -16,8 +16,7 @@ test are assembled into a single jittable ``hmc_step``.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +26,7 @@ from ..gauge.action import (GaugeActionCoeffs, force_from_action,
 from ..gauge.smear import HypCoefs, nhyp_smear
 from ..hmc import hmc as hmc_mod
 from ..lattice import Lattice
-from ..ops import group, linalg
+from ..ops import group
 from ..physics import stag_hmc
 from ..solvers.base import SolverParams
 from .md import ActionTerm, run_trajectory

@@ -21,13 +21,10 @@ qex_tpu.physics.staggered (tested in tests/test_stag_fast.py).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
 from ..lattice import Lattice
-from ..ops import eo, linalg
 from . import staggered as st
 
 

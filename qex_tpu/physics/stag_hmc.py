@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..lattice import Lattice
-from ..ops import eo, group, linalg
+from ..ops import eo, linalg
 from ..solvers.base import SolverParams
 from . import stag_solve, staggered as st
 

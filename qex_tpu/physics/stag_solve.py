@@ -23,7 +23,6 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 
 from ..ops import eo, linalg
 from ..solvers import cg

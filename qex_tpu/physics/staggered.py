@@ -36,8 +36,6 @@ Flop model (QEX parity, stagD.nim:393): per output site
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -10,7 +10,7 @@ mutated in place; callers accumulate them (see qex_tpu.utils.profile).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -14,14 +14,13 @@ All vector iterates stay on device in the working dtype.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
 from ..ops import linalg
-from .base import SolverParams, SolverStats
+from .base import SolverStats
 
 
 def cg_solve(op: Callable[[jax.Array], jax.Array], b: jax.Array,
