@@ -93,7 +93,12 @@ def main(argv=None) -> int:
                     help="force the CPU backend")
     ap.add_argument("overrides", nargs="*",
                     help="-key=value config overrides")
-    args = ap.parse_args(argv)
+    args, unknown = ap.parse_known_args(argv)
+    args.overrides = list(args.overrides) + [
+        a for a in unknown if a.startswith("-") and "=" in a]
+    bad = [a for a in unknown if not (a.startswith("-") and "=" in a)]
+    if bad:
+        ap.error(f"unrecognized arguments: {bad}")
 
     import jax
     if args.cpu:
