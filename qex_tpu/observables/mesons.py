@@ -134,6 +134,54 @@ def stag_meson_correlators(lat: Lattice, u: jax.Array, m: float,
     return stag_mesons_from_prop(lat, props, channels)
 
 
+WILSON_CHANNELS = ("pion", "scalar", "rho_x", "rho_y", "rho_z", "a0",
+                   "a1_x", "a1_y", "a1_z")
+
+
+def _wilson_gamma(ch: str):
+    import numpy as np
+
+    from ..physics.wilson import gamma_matrices
+    g = gamma_matrices()
+    table = {
+        "pion": g[4], "scalar": np.eye(4), "a0": np.eye(4),
+        "rho_x": g[0], "rho_y": g[1], "rho_z": g[2],
+        "a1_x": g[0] @ g[4], "a1_y": g[1] @ g[4], "a1_z": g[2] @ g[4],
+    }
+    return table[ch]
+
+
+def wilson_mesons_from_prop(lat: Lattice, props: jax.Array,
+                            channels=("pion",)) -> dict:
+    """Wilson meson two-point functions from the full propagator.
+
+    props: (ns_src, nc_src, ns, nc, *dims) -- column (s0, c0) solves
+    D S = delta_{s0 c0}.  Using gamma5-hermiticity,
+
+      C_G(t) = sum_x tr[ G S(x) G^dag g5 S(x)^dag g5 ]
+
+    (QEX wilsonMeson parity; the pion reduces to sum |S|^2).
+    """
+    from ..physics.wilson import gamma_matrices
+    g5 = jnp.asarray(gamma_matrices()[4], props.dtype)
+    spatial = tuple(range(-lat.nd, -1))
+    out = {}
+    for ch in channels:
+        gm = jnp.asarray(_wilson_gamma(ch), props.dtype)
+        # C(x) = Tr[G_snk S G_src S^ddag], S^ddag = g5 S^dag g5,
+        # G_src = G^dag.  Collapsing the two g5 factors:
+        #   C(x) = sum N[b,s] S[t,u,s,v] M[t,a] conj(S[a,u,b,v])
+        # with M = G^dag g5, N = g5 G and S indexed
+        # [src_spin t, src_col u, snk_spin s, snk_col v].
+        # (For G = g5 this reduces to sum |S|^2, the standard pion.)
+        m = jnp.conj(gm).T @ g5
+        n = g5 @ gm
+        c = jnp.einsum("bs,tusv...,ta,aubv...->...", n, props, m,
+                       jnp.conj(props))
+        out[ch] = jnp.real(jnp.sum(c, axis=spatial))
+    return out
+
+
 def wilson_pion_from_prop(lat: Lattice, props: jax.Array) -> jax.Array:
     """Wilson pion correlator from stacked (ns*nc) point-source
     propagators props[(s,a)] of shape (ns, nc, *dims):
