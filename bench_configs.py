@@ -18,6 +18,9 @@ import time
 
 
 def main(argv=None) -> int:
+    import functools, builtins
+    global print
+    print = functools.partial(builtins.print, flush=True)
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--configs", type=int, nargs="+",
@@ -91,8 +94,11 @@ def main(argv=None) -> int:
 
         @jax.jit
         def cfg2(uu):
-            v, ms = gf.flow(c, lat, uu, eps, steps)
-            return jnp.real(ms.t2e_clover[-1]).astype(jnp.float32)
+            # measurement once at the end (per-step measurement makes
+            # the remote-compile graph enormous)
+            v, _ = gf.flow(c, lat, uu, eps, steps, measure=False)
+            m = gf.measure_flow(lat, v, jnp.float32(eps * steps))
+            return jnp.real(m.t2e_clover).astype(jnp.float32)
 
         t2e = cfg2(u)
         sync(t2e)

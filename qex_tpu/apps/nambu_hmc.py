@@ -66,7 +66,7 @@ def main(argv=None) -> int:
     nbeta = nbeta or beta
 
     def coeffs(name, b):
-        n = (name.lower().replace("stout", "")
+        n = (name.lower().replace("meta", "").replace("stout", "")
              .replace("topoclover", "wilson").replace("act", ""))
         table = {"wilson": ga.wilson(b), "": ga.wilson(b),
                  "rect": ga.gauge_act_rect(b, rect_fac),
@@ -92,17 +92,41 @@ def main(argv=None) -> int:
             return beta_q * q * q
         return ga.full_action(gcoef, lat, v)
 
+    use_meta = "meta" in nact.lower()
+    amp = prm.float_param("amplitude", 1.0, "metadynamics bump height")
+    sdev = prm.float_param("sdev", 5.0, "metadynamics bump width")
     gens = jnp.asarray(nambu.su_generators(lat.nc), dtype)
-    system = nambu.NambuSystem(target, guide, gens)
     print(f"# nambu_hmc {lat.dims} target={gact}@{beta} "
           f"guide={nact}@{nbeta} nstout={nstout} rho={rho} "
-          f"device={jax.devices()[0]}")
+          f"meta={use_meta} device={jax.devices()[0]}")
+
+    def smeared(uu):
+        v = uu
+        if use_stout:
+            for _ in range(nstout):
+                v = stout_smear(StoutCoefs(rho), lat, v)
+        return v
+
+    if use_meta:
+        # NActTopoCloverStoutMeta: bias potential over the deposited
+        # topological-charge history drives the dynamics
+        hist = nambu.MetaHistory()
+
+        @jax.jit
+        def step(key, uu, centers, counts, warm):
+            def guide_m(w):
+                q = loops.topo_charge_clover(lat, smeared(w))
+                return nambu.metadynamics_bias(q, centers, counts,
+                                               amp, sdev)
+            sys_m = nambu.NambuSystem(target, guide_m, gens)
+            return nambu.nambu_hmc_step(key, uu, sys_m, tau, steps,
+                                        always_accept=warm)
+    else:
+        system = nambu.NambuSystem(target, guide, gens)
+        step = jax.jit(lambda k, uu, warm: nambu.nambu_hmc_step(
+            k, uu, system, tau, steps, always_accept=warm))
 
     u = group.unit_gauge(lat, dtype)
-    step_m = jax.jit(lambda k, uu: nambu.nambu_hmc_step(
-        k, uu, system, tau, steps))
-    step_w = jax.jit(lambda k, uu: nambu.nambu_hmc_step(
-        k, uu, system, tau, steps, always_accept=True))
     meas = jax.jit(lambda uu: (
         jnp.real(loops.plaquette(lat, uu)).astype(jnp.float32),
         jnp.real(loops.topo_charge_clover(lat, uu)).astype(jnp.float32)))
@@ -112,7 +136,13 @@ def main(argv=None) -> int:
         t0 = time.time()
         key = jax.random.fold_in(jax.random.PRNGKey(seed), traj)
         warm = traj < warmup
-        u, dH, dG, acc = (step_w if warm else step_m)(key, u)
+        if use_meta:
+            centers, counts = hist.arrays()
+            u, dH, dG, acc = step(key, u, centers, counts, warm)
+            _, qv = meas(u)
+            hist.deposit(float(qv))
+        else:
+            u, dH, dG, acc = step(key, u, warm)
         pl, q = meas(u)
         accb = bool(acc)
         n_acc += int(accb and not warm)

@@ -128,6 +128,48 @@ def draw_adjoint_momentum(key, u_shape, gens, nd, dtype):
     return project_ta(p, gens)
 
 
+def metadynamics_bias(q: jax.Array, centers: jax.Array,
+                      counts: jax.Array, amplitude: float,
+                      sdev: float) -> jax.Array:
+    """Metadynamics bias potential over deposited topological-charge
+    history (puregaugenhmc.nim NActTopoCloverStoutMeta):
+
+        V(q) = sum_i counts_i * A * [ exp(-(q-c_i)^2 / 2 s^2)
+                                    + exp(-(q+c_i)^2 / 2 s^2) ]
+
+    ``centers``/``counts`` are fixed-size arrays (zero counts for
+    unused slots) so the guide stays jittable as the history grows.
+    """
+    d1 = q - centers
+    d2 = q + centers
+    g = jnp.exp(-0.5 * (d1 * d1) / (sdev * sdev)) \
+        + jnp.exp(-0.5 * (d2 * d2) / (sdev * sdev))
+    return amplitude * jnp.sum(counts * g)
+
+
+class MetaHistory:
+    """Host-side deposited-charge histogram (fixed jit-size buffers)."""
+
+    def __init__(self, max_slots: int = 64):
+        self.centers = np.zeros(max_slots, np.float32)
+        self.counts = np.zeros(max_slots, np.float32)
+
+    def deposit(self, q: float) -> None:
+        c = float(abs(round(q)))
+        occupied = np.where((self.counts > 0)
+                            & (self.centers == c))[0]
+        if len(occupied):
+            self.counts[occupied[0]] += 1
+            return
+        free = np.where(self.counts == 0)[0]
+        if len(free):
+            self.centers[free[0]] = c
+            self.counts[free[0]] = 1
+
+    def arrays(self):
+        return jnp.asarray(self.centers), jnp.asarray(self.counts)
+
+
 def nambu_hmc_step(key, u, sys: NambuSystem, tau: float, nsteps: int,
                    always_accept: bool = False):
     """One Nambu-HMC trajectory with Metropolis on the target H."""
@@ -143,9 +185,8 @@ def nambu_hmc_step(key, u, sys: NambuSystem, tau: float, nsteps: int,
     g1 = kinetic(qi1) + sys.guide_action(u1)
     dH = h1 - h0
     dG = g1 - g0
-    if always_accept:
-        acc = jnp.array(True)
-    else:
-        acc = jnp.log(jax.random.uniform(ka, (), jnp.float32)) < -dH
+    acc = jnp.logical_or(
+        jnp.asarray(always_accept),
+        jnp.log(jax.random.uniform(ka, (), jnp.float32)) < -dH)
     u_out = jnp.where(acc, u1, u)
     return u_out, dH, dG, acc
