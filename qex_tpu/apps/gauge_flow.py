@@ -19,6 +19,12 @@ import sys
 
 
 def main(argv=None) -> int:
+    # long-running app: line-buffer stdout so progress survives
+    # pipes and timeouts
+    try:
+        sys.stdout.reconfigure(line_buffering=True)
+    except Exception:
+        pass
     ap = argparse.ArgumentParser(prog="gauge_flow")
     ap.add_argument("--xml")
     ap.add_argument("--lattice", type=int, nargs="+", default=None)

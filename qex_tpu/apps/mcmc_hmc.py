@@ -16,6 +16,12 @@ import time
 
 
 def main(argv=None) -> int:
+    # long-running app: line-buffer stdout so progress survives
+    # pipes and timeouts
+    try:
+        sys.stdout.reconfigure(line_buffering=True)
+    except Exception:
+        pass
     ap = argparse.ArgumentParser(prog="mcmc_hmc")
     ap.add_argument("--json", required=True)
     ap.add_argument("--ntraj", type=int, default=10)

@@ -19,6 +19,12 @@ import time
 
 
 def main(argv=None) -> int:
+    # long-running app: line-buffer stdout so progress survives
+    # pipes and timeouts
+    try:
+        sys.stdout.reconfigure(line_buffering=True)
+    except Exception:
+        pass
     from qex_tpu.utils.params import Params
     prm = Params(argv)
     gauge_file = prm.str_param("gauge", "", "gauge file (.scidac/.npz)")

@@ -17,6 +17,12 @@ import time
 
 
 def main(argv=None) -> int:
+    # long-running app: line-buffer stdout so progress survives
+    # pipes and timeouts
+    try:
+        sys.stdout.reconfigure(line_buffering=True)
+    except Exception:
+        pass
     ap = argparse.ArgumentParser(prog="puregauge_hmc")
     ap.add_argument("--lattice", type=int, nargs="+",
                     default=[8, 8, 8, 8])

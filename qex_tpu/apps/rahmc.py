@@ -24,6 +24,12 @@ import time
 
 
 def main(argv=None) -> int:
+    # long-running app: line-buffer stdout so progress survives
+    # pipes and timeouts
+    try:
+        sys.stdout.reconfigure(line_buffering=True)
+    except Exception:
+        pass
     from qex_tpu.utils.params import Params
     prm = Params(argv)
     lat_dims = prm.int_seq_param("lat", [8, 8, 8, 8], "lattice size")

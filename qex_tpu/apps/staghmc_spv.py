@@ -85,6 +85,12 @@ def build_theory(cfg, lat, dtype):
 
 
 def main(argv=None) -> int:
+    # long-running app: line-buffer stdout so progress survives
+    # pipes and timeouts
+    try:
+        sys.stdout.reconfigure(line_buffering=True)
+    except Exception:
+        pass
     ap = argparse.ArgumentParser(prog="staghmc_spv")
     ap.add_argument("--xml", help="XML input deck (input_hmc.xml format)")
     ap.add_argument("--json", help="JSON input deck")
