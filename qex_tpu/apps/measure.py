@@ -108,6 +108,26 @@ def main(argv=None) -> int:
             noise=noise, n_noise=n_noise, dilution=dilution, params=sp)
         print(f"MEASpbp {float(v):.10g}")
         print(f"# pbp in {time.time()-t0:.1f} s")
+    if prm.bool_param("wilsonMesons", False,
+                      "Wilson meson correlators (12 solves)"):
+        from qex_tpu.physics import wilson as wl
+        t0 = time.time()
+        w = wl.new_wilson(lat, u, mass, bc=bc)
+        cols = []
+        for s0 in range(4):
+            for c0 in range(lat.nc):
+                src = jnp.zeros(lat.dirac_shape(), u.dtype
+                                ).at[(s0, c0) + (0,) * lat.nd].set(1.0)
+                x, _ = wl.solve(w, src, sp)
+                cols.append(x)
+        props = jnp.stack(cols).reshape((4, lat.nc) + cols[0].shape)
+        corr = mesons.wilson_mesons_from_prop(
+            lat, props, channels=mesons.WILSON_CHANNELS)
+        for ch, c in corr.items():
+            vals = " ".join(f"{float(x):.10g}"
+                            for x in jax.device_get(c))
+            print(f"MEASwmeson {ch} {vals}")
+        print(f"# wilson mesons in {time.time()-t0:.1f} s")
     return 0
 
 
