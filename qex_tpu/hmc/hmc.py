@@ -79,14 +79,16 @@ def hmc_step_guided(key: jax.Array, u: jax.Array,
                     always_accept: bool = False,
                     ) -> tuple[jax.Array, HMCState]:
     """HMC with a GUIDE action driving the molecular dynamics and the
-    TARGET action in the Metropolis test.
+    TARGET action in the Metropolis test (surrogate-force HMC).
 
-    TPU-native replacement for QEX's src/nhmc/ 'Nambu' HMC
-    (puregaugenhmc.nim): MD forces come from e.g. a stout-smeared or
-    topological-charge-augmented guide action, while detailed balance
-    w.r.t. the target measure is preserved because the leapfrog-family
-    integrator stays reversible and volume-preserving for ANY force
-    field -- only acceptance uses H_target.
+    Valid MCMC for any guide (the leapfrog-family integrator stays
+    reversible and volume-preserving for ANY force field; only
+    acceptance uses H_target), but practical ONLY when
+    S_guide - S_target is nearly constant along trajectories --
+    otherwise dH grows with the volume and everything is rejected.
+    For the reference's nhmc program semantics (different guide
+    dynamics at high acceptance) use qex_tpu.hmc.nambu, which evolves
+    Nambu-bracket dynamics conserving the target H.
     """
     nd, nc = u.shape[0], u.shape[1]
     kp, ka = jax.random.split(key)
