@@ -33,9 +33,9 @@ from ..lattice import Lattice
 from . import stag_fast as sf
 
 
-def _split(v: jax.Array) -> jax.Array:
-    """complex (…,) -> float32 (2, …)."""
-    return jnp.stack([jnp.real(v), jnp.imag(v)]).astype(jnp.float32)
+def _split(v: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """complex (…,) -> real (2, …) planes (f32 or bf16 for links)."""
+    return jnp.stack([jnp.real(v), jnp.imag(v)]).astype(dtype)
 
 
 def _join(v: jax.Array) -> jax.Array:
@@ -51,11 +51,19 @@ class PallasStagEO:
     g_o: jax.Array
 
 
-def new_pallas(s) -> PallasStagEO:
-    """From a StaggeredEO or FastStagEO."""
+def new_pallas(s, links_dtype=jnp.float32) -> PallasStagEO:
+    """From a StaggeredEO or FastStagEO.
+
+    ``links_dtype=jnp.bfloat16`` halves the dominant link traffic
+    (576 -> 288 B/site) for sloppy inner solves; pair with f32
+    true-residual restarts (cg_solve_restarted op_true) for full
+    accuracy -- the reference's sloppySolve/mixed-precision knob
+    (solverBase.nim sloppySolve; BASELINE.md bf16 experiments).
+    """
     if not isinstance(s, sf.FastStagEO):
         s = sf.new_fast(s)
-    return PallasStagEO(s.lat, _split(s.g_e), _split(s.g_o))
+    return PallasStagEO(s.lat, _split(s.g_e, links_dtype),
+                        _split(s.g_o, links_dtype))
 
 
 def _dslash_kernel(X: int, parity_out: int, nzb: int,
@@ -109,11 +117,11 @@ def _dslash_kernel(X: int, parity_out: int, nzb: int,
             ri = None
             for b in range(3):
                 if adjoint:
-                    ar = lref[0, mu, b, a, :, zz]
-                    ai = -lref[1, mu, b, a, :, zz]
+                    ar = lref[0, mu, b, a, :, zz].astype(jnp.float32)
+                    ai = -lref[1, mu, b, a, :, zz].astype(jnp.float32)
                 else:
-                    ar = lref[0, mu, a, b, :, zz]
-                    ai = lref[1, mu, a, b, :, zz]
+                    ar = lref[0, mu, a, b, :, zz].astype(jnp.float32)
+                    ai = lref[1, mu, a, b, :, zz].astype(jnp.float32)
                 vr, vi = vec[b]
                 tr = ar * vr - ai * vi
                 ti = ar * vi + ai * vr

@@ -30,6 +30,8 @@ class SolverParams:
     maxits: int = 2000
     restarts: int = 5
     verbose: bool = False
+    sloppy: bool = False   # bf16-link inner solves + full-precision
+    #                        true-residual restarts (QEX sloppySolve)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -67,7 +67,9 @@ def cg_solve(op: Callable[[jax.Array], jax.Array], b: jax.Array,
 def cg_solve_restarted(op: Callable[[jax.Array], jax.Array], b: jax.Array,
                        *, r2req: float = 1e-12, maxits: int = 1000,
                        restarts: int = 5,
-                       inner_r2req_floor: float = 1e-12
+                       inner_r2req_floor: float = 1e-12,
+                       op_true: Callable[[jax.Array], jax.Array] | None
+                       = None,
                        ) -> tuple[jax.Array, SolverStats]:
     """Defect-correction restarted CG.
 
@@ -77,9 +79,16 @@ def cg_solve_restarted(op: Callable[[jax.Array], jax.Array], b: jax.Array,
     what lets complex64 arithmetic reach 1e-8-level residuals: each
     restart re-anchors against accumulated rounding drift.
 
+    ``op_true`` (default: ``op``) evaluates the true residuals between
+    restarts; passing a full-precision operator here while ``op`` uses
+    sloppy (e.g. bf16-link) arithmetic is the QEX ``sloppySolve``
+    mixed-precision scheme.
+
     jit-safe: fixed ``restarts`` trip count with a converged short-circuit
     inside the scan body.
     """
+    if op_true is None:
+        op_true = op
     b2 = linalg.norm2(b)
     stop = r2req * b2
 
@@ -90,7 +99,7 @@ def cg_solve_restarted(op: Callable[[jax.Array], jax.Array], b: jax.Array,
 
     def body(carry, _):
         x, total_its, done = carry
-        r = b - op(x)
+        r = b - op_true(x)
         r2 = linalg.norm2(r)
         need = jnp.logical_and(r2 > stop, jnp.logical_not(done))
 
@@ -108,7 +117,7 @@ def cg_solve_restarted(op: Callable[[jax.Array], jax.Array], b: jax.Array,
 
     init = (jnp.zeros_like(b), jnp.zeros((), jnp.int32), jnp.array(False))
     (x, its, _), r2s = jax.lax.scan(body, init, None, length=restarts)
-    r_final = b - op(x)
+    r_final = b - op_true(x)
     r2_final = linalg.norm2(r_final) / b2
     return x, SolverStats(iterations=its, r2=r2_final)
 
