@@ -193,8 +193,9 @@ def force_from_action(action_fn: Callable[[jax.Array], jax.Array],
     QEX's hand-derived staple forces (gaugeAction.nim:148-333).
     """
     g = jax.grad(action_fn)(u)
-    # per-direction (U G^T)_ac = sum_b U_ab G_cb; leading axis is mu
-    m = jnp.einsum("dab...,dcb...->dac...", u, g)
+    # per-direction (U G^T)_ac = sum_b U_ab G_cb = U @ adj(conj(G));
+    # vmapped explicit products (batched tiny matmuls are slow on TPU)
+    m = jax.vmap(lambda uu, gg: linalg.mul_na(uu, jnp.conj(gg)))(u, g)
     return -jax.vmap(group.tah)(m)
 
 

@@ -46,7 +46,7 @@ def flow_generator(c: GaugeActionCoeffs, lat: Lattice,
 
 def _exp_mul(z: jax.Array, u: jax.Array) -> jax.Array:
     ex = jax.vmap(linalg.expm)(z)
-    return jnp.einsum("dab...,dbc...->dac...", ex, u)
+    return jax.vmap(linalg.mul)(ex, u)
 
 
 def flow_step(c: GaugeActionCoeffs, lat: Lattice, u: jax.Array,

@@ -34,7 +34,7 @@ def gauge_update_u(u: jax.Array, p: jax.Array, eps: float) -> jax.Array:
     """U <- exp(eps p) U per link (QEX mdt, staghmc_spv.nim:873-888)."""
     from ..ops import linalg as la
     ex = jax.vmap(lambda m: la.expm(m))(eps * p)
-    return jnp.einsum("dab...,dbc...->dac...", ex, u)
+    return jax.vmap(la.mul)(ex, u)
 
 
 def kinetic_energy(p: jax.Array) -> jax.Array:

@@ -91,7 +91,7 @@ def nambu_trajectory(sys: NambuSystem, u, pi, qi, tau: float,
     def update_u(u, pi, qi, eps):
         fi = pi * qi
         ex = jax.vmap(linalg.expm)(eps * expand_ta(fi, sys.gens))
-        return jnp.einsum("dab...,dbc...->dac...", ex, u)
+        return jax.vmap(linalg.mul)(ex, u)
 
     def step(carry, i):
         u, pi, qi = carry

@@ -131,7 +131,8 @@ def _shared_smeared_kick(transform, terms, kicks, u, p, phis):
         c = cdt * terms[i].chain_force(v, phis[i])
         chain = c if chain is None else chain + c
     (gu,) = vjp(chain)
-    m = jnp.einsum("dab...,dcb...->dac...", u, gu)
+    from ..ops import linalg
+    m = jax.vmap(lambda uu, gg: linalg.mul_na(uu, jnp.conj(gg)))(u, gu)
     return p + jax.vmap(group.tah)(m)
 
 

@@ -26,34 +26,71 @@ def adj(m: jax.Array) -> jax.Array:
     return jnp.conj(jnp.swapaxes(m, 0, 1))
 
 
+_LOOP_N = 5  # explicit expansion threshold (site matrices are tiny)
+
+
+def _stack2(rows):
+    return jnp.stack([jnp.stack(r) for r in rows])
+
+
 def mul(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Matrix-matrix product of two matrix fields: (a @ b) per site."""
-    return jnp.einsum("ab...,bc...->ac...", a, b)
+    """Matrix-matrix product of two matrix fields: (a @ b) per site.
+
+    Small fixed n expands into elementwise multiply-adds: batched tiny
+    matmuls via dot_general map terribly onto the TPU MXU (measured
+    ~3x slower than the expanded form on v5e), and the VPU form fuses
+    with neighbors.
+    """
+    n, m_, k = a.shape[0], b.shape[1], a.shape[1]
+    if max(n, m_, k) > _LOOP_N:
+        return jnp.einsum("ab...,bc...->ac...", a, b)
+    return _stack2([[sum(a[i, l] * b[l, j] for l in range(k))
+                     for j in range(m_)] for i in range(n)])
 
 
 def mul_an(a: jax.Array, b: jax.Array) -> jax.Array:
     """adj(a) @ b per site (QEX's ``mul(r, a.adj, b)``)."""
-    return jnp.einsum("ba...,bc...->ac...", jnp.conj(a), b)
+    n, m_, k = a.shape[1], b.shape[1], a.shape[0]
+    if max(n, m_, k) > _LOOP_N:
+        return jnp.einsum("ba...,bc...->ac...", jnp.conj(a), b)
+    return _stack2([[sum(jnp.conj(a[l, i]) * b[l, j] for l in range(k))
+                     for j in range(m_)] for i in range(n)])
 
 
 def mul_na(a: jax.Array, b: jax.Array) -> jax.Array:
     """a @ adj(b) per site."""
-    return jnp.einsum("ab...,cb...->ac...", a, jnp.conj(b))
+    n, m_, k = a.shape[0], b.shape[0], a.shape[1]
+    if max(n, m_, k) > _LOOP_N:
+        return jnp.einsum("ab...,cb...->ac...", a, jnp.conj(b))
+    return _stack2([[sum(a[i, l] * jnp.conj(b[j, l]) for l in range(k))
+                     for j in range(m_)] for i in range(n)])
 
 
 def mul_aa(a: jax.Array, b: jax.Array) -> jax.Array:
     """adj(a) @ adj(b) per site."""
-    return jnp.einsum("ba...,cb...->ac...", jnp.conj(a), jnp.conj(b))
+    n, m_, k = a.shape[1], b.shape[0], a.shape[0]
+    if max(n, m_, k) > _LOOP_N:
+        return jnp.einsum("ba...,cb...->ac...", jnp.conj(a), jnp.conj(b))
+    return _stack2([[sum(jnp.conj(a[l, i] * b[j, l]) for l in range(k))
+                     for j in range(m_)] for i in range(n)])
 
 
 def mv(m: jax.Array, v: jax.Array) -> jax.Array:
     """Matrix-vector product per site: (m @ v)."""
-    return jnp.einsum("ab...,b...->a...", m, v)
+    n, k = m.shape[0], m.shape[1]
+    if max(n, k) > _LOOP_N:
+        return jnp.einsum("ab...,b...->a...", m, v)
+    return jnp.stack([sum(m[i, l] * v[l] for l in range(k))
+                      for i in range(n)])
 
 
 def mv_an(m: jax.Array, v: jax.Array) -> jax.Array:
     """adj(m) @ v per site."""
-    return jnp.einsum("ba...,b...->a...", jnp.conj(m), v)
+    n, k = m.shape[1], m.shape[0]
+    if max(n, k) > _LOOP_N:
+        return jnp.einsum("ba...,b...->a...", jnp.conj(m), v)
+    return jnp.stack([sum(jnp.conj(m[l, i]) * v[l] for l in range(k))
+                      for i in range(n)])
 
 
 def outer(v: jax.Array, w: jax.Array) -> jax.Array:
