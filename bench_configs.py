@@ -133,7 +133,10 @@ def main(argv=None) -> int:
               f"{dt:.3f} s/traj, dH={sync(dH):+.4f}, plaq={plv:.5f}")
 
     if 5 in args.configs:
-        lat = Lattice((32, 32, 32, 64))
+        # 32^3x64 HISQ needs ~48 GB for the two-level fattening
+        # intermediates -- that config belongs on the v5p-32 mesh
+        # (dryrun-validated); the single-chip timing point is 24^3x48.
+        lat = Lattice((24, 24, 24, 48))
         u = hot(lat)
         from qex_tpu.gauge.fat7 import hisq_links
         from qex_tpu.solvers import cgm
@@ -161,7 +164,7 @@ def main(argv=None) -> int:
         r2, its = cfg5(u, b)
         r2v = sync(r2)
         dt = time.perf_counter() - t0
-        print(f"CONFIG5 32^3x64 HISQ 4-mass multishift CG: {dt:.3f} s,"
+        print(f"CONFIG5 24^3x48 HISQ 4-mass multishift CG: {dt:.3f} s,"
               f" its={int(sync(its))}, worst rel_r2={r2v:.2e}")
 
     return 0
