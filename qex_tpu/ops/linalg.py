@@ -204,6 +204,46 @@ def expm(m: jax.Array, order: int = 12, squarings: int = 4) -> jax.Array:
     return r
 
 
+def sqrtm_db(m: jax.Array, iters: int = 20) -> jax.Array:
+    """Principal matrix square root by the Denman-Beavers iteration
+    (QEX matroot.nim analog): Y <- (Y + Z^-1)/2, Z <- (Z + Y^-1)/2.
+
+    Quadratically convergent for matrices with no nonpositive-real
+    eigenvalues; built from the closed-form ``inv`` (n <= 3) so it is
+    jit/grad-safe.
+    """
+    y = m
+    z = eye_like(m)
+    for _ in range(iters):
+        yn = 0.5 * (y + inv(z))
+        zn = 0.5 * (z + inv(y))
+        y, z = yn, zn
+    return y
+
+
+def logm(m: jax.Array, sqrt_iters: int = 6, series_order: int = 12,
+         db_iters: int = 20) -> jax.Array:
+    """Principal matrix logarithm by inverse scaling-and-squaring
+    (QEX matlog.nim analog): repeated Denman-Beavers square roots until
+    near identity, then the Mercator series of log(I + X), scaled back.
+
+    Intended for near-unitary / near-identity fields (gauge links,
+    smeared links); for SU(n) links logm is the algebra-valued log used
+    by Landau-type gauge conditions and flow diagnostics.
+    """
+    x = m
+    for _ in range(sqrt_iters):
+        x = sqrtm_db(x, iters=db_iters)
+    d = x - eye_like(m)
+    # log(I + d) = d - d^2/2 + d^3/3 - ...
+    acc = jnp.zeros_like(m)
+    term = eye_like(m)
+    for j in range(1, series_order + 1):
+        term = mul(term, d)
+        acc = acc + ((-1.0) ** (j + 1) / j) * term
+    return (2.0 ** sqrt_iters) * acc
+
+
 # --- hermitian inverse square root / unitary projection ---------------------
 
 def rsqrt_phm(h: jax.Array, iters: int = 14, eps: float = 1e-30) -> jax.Array:

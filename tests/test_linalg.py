@@ -116,3 +116,33 @@ def test_norms(rng):
                                np.vdot(np.asarray(v), np.asarray(w)), rtol=1e-12)
     np.testing.assert_allclose(float(linalg.redot(v, w)),
                                np.real(np.vdot(np.asarray(v), np.asarray(w))), rtol=1e-12)
+
+
+def test_sqrtm_db(rng):
+    """Denman-Beavers square root: (sqrt m)^2 == m for SPD fields."""
+    import jax
+    import jax.numpy as jnp
+    from qex_tpu.ops import linalg
+    dims = (4, 4)
+    a = jnp.asarray(rng.normal(size=(3, 3) + dims)
+                    + 1j * rng.normal(size=(3, 3) + dims))
+    m = linalg.mul_an(a, a) + 0.5 * linalg.eye_like(a)  # SPD
+    r = linalg.sqrtm_db(m)
+    dev = linalg.norm2(linalg.mul(r, r) - m) / linalg.norm2(m)
+    assert float(dev) < 1e-24
+
+
+def test_logm_inverts_expm(rng):
+    """expm(logm(U)) == U for SU(3)-like fields, and logm of exp(p)
+    recovers the algebra element p for small p."""
+    import jax
+    import jax.numpy as jnp
+    from qex_tpu.ops import group, linalg
+    key = jax.random.PRNGKey(3)
+    dims = (4, 4)
+    p = 0.3 * group.random_tah(key, dims, 3, jnp.complex128)
+    u = linalg.expm(p)
+    l = linalg.logm(u)
+    assert float(linalg.norm2(l - p)) / float(linalg.norm2(p)) < 1e-18
+    back = linalg.expm(l)
+    assert float(linalg.norm2(back - u)) / float(linalg.norm2(u)) < 1e-20
