@@ -26,6 +26,9 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="puregauge_hmc")
     ap.add_argument("--lattice", type=int, nargs="+",
                     default=[8, 8, 8, 8])
+    ap.add_argument("--nc", type=int, default=3,
+                    help="gauge group SU(nc); nc=1 gives the compact "
+                         "U(1) examples (puregauge2du1 analog)")
     ap.add_argument("--beta", type=float, default=6.0)
     ap.add_argument("--c1", type=float, default=None)
     ap.add_argument("--adj", type=float, default=None)
@@ -54,7 +57,7 @@ def main(argv=None) -> int:
     from qex_tpu.io import checkpoint as ckpt
     from qex_tpu.ops import group, linalg
 
-    lat = Lattice(tuple(args.lattice))
+    lat = Lattice(tuple(args.lattice), nc=args.nc)
     on_cpu = jax.devices()[0].platform == "cpu"
     dtype = jnp.complex128 if (on_cpu and jax.config.jax_enable_x64) \
         else jnp.complex64

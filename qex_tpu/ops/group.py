@@ -32,6 +32,10 @@ def tah(m: jax.Array) -> jax.Array:
     """
     n = m.shape[0]
     a = 0.5 * (m - linalg.adj(m))
+    if n == 1:
+        # u(1) is the full antihermitian line i*R -- no traceless
+        # projection (the compact-U(1) models, puregauge2du1 analog)
+        return a
     tr = linalg.trace(a) / n
     return a - tr * linalg.eye_like(m)
 
