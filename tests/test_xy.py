@@ -105,3 +105,41 @@ def test_spin_flow_smooths():
     th1 = xy.spin_flow(theta, 0.05, 40)
     e1 = float(xy.energy(th1, 1.0))
     assert e1 < e0  # gradient flow descends the energy
+
+
+def test_clock_model_phases():
+    """Z_6 clock model: ordered at strong coupling, disordered at weak;
+    heatbath and Metropolis agree on the energy."""
+    from qex_tpu.models import clock
+    L, N = 16, 6
+    key = jax.random.PRNGKey(11)
+    k0 = jax.random.randint(key, (L, L), 0, N)
+    hb = jax.jit(lambda kk, s: clock.heatbath_sweep(kk, s, 2.0, N))
+    s = k0
+    for i in range(60):
+        s = hb(jax.random.fold_in(key, i), s)
+    assert float(clock.magnetization(s, N)) > 0.5
+    hbw = jax.jit(lambda kk, s: clock.heatbath_sweep(kk, s, 0.3, N))
+    s = k0
+    for i in range(60):
+        s = hbw(jax.random.fold_in(key, 100 + i), s)
+    assert float(clock.magnetization(s, N)) < 0.4
+    # cross-algorithm energy agreement at beta=1
+    def measure(update, seed, n_therm=40, n_meas=60):
+        kk = jax.random.PRNGKey(seed)
+        s = k0
+        for i in range(n_therm):
+            out = update(jax.random.fold_in(kk, i), s)
+            s = out[0] if isinstance(out, tuple) else out
+        es = []
+        for i in range(n_meas):
+            out = update(jax.random.fold_in(kk, 1000 + i), s)
+            s = out[0] if isinstance(out, tuple) else out
+            es.append(float(clock.energy(s, 1.0, N)))
+        return np.mean(es), np.std(es) / np.sqrt(len(es))
+    h1 = jax.jit(lambda kk, s: clock.heatbath_sweep(kk, s, 1.0, N))
+    m1 = jax.jit(lambda kk, s: clock.metropolis_sweep(kk, s, 1.0, N))
+    e1, s1 = measure(h1, 7)
+    e2, s2 = measure(m1, 8, n_therm=120, n_meas=180)
+    assert abs(e1 - e2) < 5 * np.sqrt(s1**2 + s2**2) + 0.02 * abs(e1), \
+        (e1, e2)
