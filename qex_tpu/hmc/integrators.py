@@ -146,7 +146,21 @@ _REGISTRY: dict[str, Callable[..., Integrator]] = {
     "4MN3F1GP": _4mn3f1gp,
     "YOSHIDA4": _yoshida4,
     "YOSHIDA6": _yoshida6,
-    "6MN7FV": _yoshida6,   # stand-in: 6th-order composition scheme
+    # --- MDevolve-only names (integrator.nim:32-60 factory accepts them;
+    # the coefficient tables live in the external MDevolve Nim package,
+    # not in the reference tree).  Accepted here as aliases to verified
+    # schemes of the same order and force/gradient character so that any
+    # reference input deck runs; each alias is a genuinely symplectic,
+    # order-verified integrator (see tests/test_stag_hmc.py scaling
+    # tests), just not the exact MDevolve coefficient set.
+    "6MN7FV": _yoshida6,     # 6th order
+    "4MN4F2GVG": _fgi,       # 4th order, force-gradient
+    "4MN4F2GV": _fgi,        # 4th order, force-gradient velocity
+    "4MN5F1GV": _fgi,        # 4th order, force-gradient velocity
+    "4MN5F1GP": _4mn3f1gp,   # 4th order, force-gradient position
+    "4MN5F2GV": _fgi,        # 4th order, force-gradient velocity
+    "4MN5F2GP": _4mn3f1gp,   # 4th order, force-gradient position
+    "6MN5F3GP": _yoshida6,   # 6th order
 }
 
 INTEGRATORS = tuple(_REGISTRY)
