@@ -21,6 +21,7 @@ paths and the same-direction Lepage term.  Everything is differentiable
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -74,48 +75,58 @@ def make_imp_links(lat: Lattice, u: jax.Array, c: Fat7lCoefs,
     Returns (fl, ll) with ll None when naik == 0.
     """
     nd = lat.nd
+    fl = jnp.stack([fat_link_dir(lat, u, c, d) for d in range(nd)])
+    ll = None
+    if naik != 0.0:
+        gl = u_long if u_long is not None else u
+        ll = jnp.stack([naik_link_dir(lat, gl, naik, d)
+                        for d in range(nd)])
+    return fl, ll
+
+
+def fat_link_dir(lat: Lattice, u: jax.Array, c: Fat7lCoefs,
+                 dir_: int) -> jax.Array:
+    """One output direction of the fat7+Lepage links (the per-``dir``
+    body of makeImpLinks, fat7l.nim:73-160).  Exposed separately so
+    large-volume forward-only fattening can bound its peak memory by
+    jitting one direction at a time (see :func:`hisq_links_lowmem`)."""
+    nd = lat.nd
     c1 = c.one_link - 6.0 * c.lepage
     have5 = c.five_staple != 0.0 or c.seven_staple != 0.0 \
         or c.lepage != 0.0
     have3 = c.three_staple != 0.0 or have5
 
-    fls = []
-    for dir_ in range(nd):
-        fl = c1 * u[dir_]
-        if have3:
-            for nu in range(nd):
-                if nu == dir_:
-                    continue
-                s3 = sym_staple(u[nu], u[dir_], nu, dir_, nd)
-                fl = fl + c.three_staple * s3
-                if c.lepage != 0.0:
-                    fl = fl + c.lepage * sym_staple(u[nu], s3, nu, dir_,
-                                                    nd)
-                if have5:
-                    for rho in range(nd):
-                        if rho in (dir_, nu):
-                            continue
-                        s5 = sym_staple(u[rho], s3, rho, dir_, nd)
-                        fl = fl + c.five_staple * s5
-                        if c.seven_staple != 0.0:
-                            for sig in range(nd):
-                                if sig in (dir_, nu, rho):
-                                    continue
-                                fl = fl + c.seven_staple * sym_staple(
-                                    u[sig], s5, sig, dir_, nd)
-        fls.append(fl)
-    fl = jnp.stack(fls)
+    fl = c1 * u[dir_]
+    if have3:
+        for nu in range(nd):
+            if nu == dir_:
+                continue
+            s3 = sym_staple(u[nu], u[dir_], nu, dir_, nd)
+            fl = fl + c.three_staple * s3
+            if c.lepage != 0.0:
+                fl = fl + c.lepage * sym_staple(u[nu], s3, nu, dir_, nd)
+            if have5:
+                for rho in range(nd):
+                    if rho in (dir_, nu):
+                        continue
+                    s5 = sym_staple(u[rho], s3, rho, dir_, nd)
+                    fl = fl + c.five_staple * s5
+                    if c.seven_staple != 0.0:
+                        for sig in range(nd):
+                            if sig in (dir_, nu, rho):
+                                continue
+                            fl = fl + c.seven_staple * sym_staple(
+                                u[sig], s5, sig, dir_, nd)
+    return fl
 
-    ll = None
-    if naik != 0.0:
-        gl = u_long if u_long is not None else u
-        lls = []
-        for dir_ in range(nd):
-            a = shift(gl[dir_], dir_, +1, nd)                 # U(x+d)
-            b = shift(linalg.mul(gl[dir_], a), dir_, +1, nd)  # U(x+d)U(x+2d)
-            lls.append(naik * linalg.mul(gl[dir_], b))
-        ll = jnp.stack(lls)
-    return fl, ll
+
+def naik_link_dir(lat: Lattice, gl: jax.Array, naik: float,
+                  dir_: int) -> jax.Array:
+    """naik * U(x) U(x+d) U(x+2d) for one direction."""
+    nd = lat.nd
+    a = shift(gl[dir_], dir_, +1, nd)                 # U(x+d)
+    b = shift(linalg.mul(gl[dir_], a), dir_, +1, nd)  # U(x+d)U(x+2d)
+    return naik * linalg.mul(gl[dir_], b)
 
 
 def hisq_links(lat: Lattice, u: jax.Array, c: HisqCoefs = HisqCoefs(),
@@ -130,4 +141,41 @@ def hisq_links(lat: Lattice, u: jax.Array, c: HisqCoefs = HisqCoefs(),
     t2 = jax.vmap(lambda m: linalg.project_u(m, iters=proj_iters))(t1)
     fl, ll = make_imp_links(lat, t2, c.fat7_second, u_long=t2,
                             naik=c.naik)
+    return fl, ll
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _fat_dir_jit(lat, u, c, dir_, proj):
+    f = fat_link_dir(lat, u, c, dir_)
+    if proj:
+        f = linalg.project_u(f)
+    return f
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def _naik_dir_jit(lat, gl, naik, dir_):
+    return naik_link_dir(lat, gl, naik, dir_)
+
+
+def hisq_links_lowmem(lat: Lattice, u: jax.Array,
+                      c: HisqCoefs = HisqCoefs()
+                      ) -> tuple[jax.Array, jax.Array]:
+    """Forward-only :func:`hisq_links` with bounded peak device memory.
+
+    The fused single-jit fattening materializes O(30) field-sized HLO
+    temps, each lane-padded up to ~2.7x on TPU for typical lattice
+    extents (the 4D trailing dims rarely hit the 8x128 tile) -- at
+    24^3x48 that exceeds a v5e chip's 16 GB.  Here each fat7 level runs
+    one output direction per jit call (temps are freed between calls),
+    with the U(3) projection fused into the first level.  Same result
+    as hisq_links to roundoff; NOT differentiable as a whole -- HMC
+    keeps the fused path (whose force pass needs the joint graph).
+    """
+    stack = jax.jit(lambda *xs: jnp.stack(xs))  # jitted: axon has no eager
+    t2 = stack(*[_fat_dir_jit(lat, u, c.fat7_first, d, True)
+                 for d in range(lat.nd)])
+    fl = stack(*[_fat_dir_jit(lat, t2, c.fat7_second, d, False)
+                 for d in range(lat.nd)])
+    ll = stack(*[_naik_dir_jit(lat, t2, c.naik, d)
+                 for d in range(lat.nd)])
     return fl, ll

@@ -165,3 +165,12 @@ def test_hisq_multimass(lat, u):
     for m, x in zip(masses, xs):
         r = stg.d2ee3(s3, x, m) - b
         assert float(linalg.norm2(r)) / float(linalg.norm2(b)) < 1e-12
+
+
+def test_hisq_links_lowmem_matches_fused(lat, u):
+    """Per-direction chunked fattening (the large-volume OOM-avoidance
+    path) is bit-compatible with the fused differentiable path."""
+    fl1, ll1 = jax.jit(lambda uu: fat7.hisq_links(lat, uu))(u)
+    fl2, ll2 = fat7.hisq_links_lowmem(lat, u)
+    assert float(jnp.max(jnp.abs(fl1 - fl2))) < 1e-12
+    assert float(jnp.max(jnp.abs(ll1 - ll2))) < 1e-12
