@@ -29,6 +29,16 @@ def adj(m: jax.Array) -> jax.Array:
 _LOOP_N = 5  # explicit expansion threshold (site matrices are tiny)
 
 
+def _loop(n: int) -> bool:
+    """Expand tiny site matmuls into explicit multiply-adds only when
+    compiling for TPU: batched 3x3 dot_generals map terribly onto the
+    MXU (measured ~3x slower on v5e) and the expanded form fuses into
+    VPU passes, but the expansion also inflates CPU compile times
+    severely (the f64 oracle test suite tripled), where einsum is
+    already fine.  Decided at trace time from the default backend."""
+    return n <= _LOOP_N and jax.default_backend() == "tpu"
+
+
 def _stack2(rows):
     return jnp.stack([jnp.stack(r) for r in rows])
 
@@ -42,7 +52,7 @@ def mul(a: jax.Array, b: jax.Array) -> jax.Array:
     with neighbors.
     """
     n, m_, k = a.shape[0], b.shape[1], a.shape[1]
-    if max(n, m_, k) > _LOOP_N:
+    if not _loop(max(n, m_, k)):
         return jnp.einsum("ab...,bc...->ac...", a, b)
     return _stack2([[sum(a[i, l] * b[l, j] for l in range(k))
                      for j in range(m_)] for i in range(n)])
@@ -51,7 +61,7 @@ def mul(a: jax.Array, b: jax.Array) -> jax.Array:
 def mul_an(a: jax.Array, b: jax.Array) -> jax.Array:
     """adj(a) @ b per site (QEX's ``mul(r, a.adj, b)``)."""
     n, m_, k = a.shape[1], b.shape[1], a.shape[0]
-    if max(n, m_, k) > _LOOP_N:
+    if not _loop(max(n, m_, k)):
         return jnp.einsum("ba...,bc...->ac...", jnp.conj(a), b)
     return _stack2([[sum(jnp.conj(a[l, i]) * b[l, j] for l in range(k))
                      for j in range(m_)] for i in range(n)])
@@ -60,7 +70,7 @@ def mul_an(a: jax.Array, b: jax.Array) -> jax.Array:
 def mul_na(a: jax.Array, b: jax.Array) -> jax.Array:
     """a @ adj(b) per site."""
     n, m_, k = a.shape[0], b.shape[0], a.shape[1]
-    if max(n, m_, k) > _LOOP_N:
+    if not _loop(max(n, m_, k)):
         return jnp.einsum("ab...,cb...->ac...", a, jnp.conj(b))
     return _stack2([[sum(a[i, l] * jnp.conj(b[j, l]) for l in range(k))
                      for j in range(m_)] for i in range(n)])
@@ -69,7 +79,7 @@ def mul_na(a: jax.Array, b: jax.Array) -> jax.Array:
 def mul_aa(a: jax.Array, b: jax.Array) -> jax.Array:
     """adj(a) @ adj(b) per site."""
     n, m_, k = a.shape[1], b.shape[0], a.shape[0]
-    if max(n, m_, k) > _LOOP_N:
+    if not _loop(max(n, m_, k)):
         return jnp.einsum("ba...,cb...->ac...", jnp.conj(a), jnp.conj(b))
     return _stack2([[sum(jnp.conj(a[l, i] * b[j, l]) for l in range(k))
                      for j in range(m_)] for i in range(n)])
@@ -78,7 +88,7 @@ def mul_aa(a: jax.Array, b: jax.Array) -> jax.Array:
 def mv(m: jax.Array, v: jax.Array) -> jax.Array:
     """Matrix-vector product per site: (m @ v)."""
     n, k = m.shape[0], m.shape[1]
-    if max(n, k) > _LOOP_N:
+    if not _loop(max(n, k)):
         return jnp.einsum("ab...,b...->a...", m, v)
     return jnp.stack([sum(m[i, l] * v[l] for l in range(k))
                       for i in range(n)])
@@ -87,7 +97,7 @@ def mv(m: jax.Array, v: jax.Array) -> jax.Array:
 def mv_an(m: jax.Array, v: jax.Array) -> jax.Array:
     """adj(m) @ v per site."""
     n, k = m.shape[1], m.shape[0]
-    if max(n, k) > _LOOP_N:
+    if not _loop(max(n, k)):
         return jnp.einsum("ba...,b...->a...", jnp.conj(m), v)
     return jnp.stack([sum(jnp.conj(m[l, i]) * v[l] for l in range(k))
                       for i in range(n)])
