@@ -15,6 +15,8 @@ No data-dependent control flow: everything is jit/grad/vmap-safe.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -35,7 +37,15 @@ def _loop(n: int) -> bool:
     MXU (measured ~3x slower on v5e) and the expanded form fuses into
     VPU passes, but the expansion also inflates CPU compile times
     severely (the f64 oracle test suite tripled), where einsum is
-    already fine.  Decided at trace time from the default backend."""
+    already fine.  Decided at trace time from the default backend.
+
+    QEX_TPU_LINALG_EINSUM=1 forces einsum everywhere: the expansion
+    multiplies HLO size ~10x, and the very largest traced programs
+    (e.g. the fused 24^4 multi-field smeared-HMC trajectory) can OOM
+    the XLA compiler itself -- einsum trades ~20% step speed for a
+    compilable graph there."""
+    if os.environ.get("QEX_TPU_LINALG_EINSUM", "0") == "1":
+        return False
     return n <= _LOOP_N and jax.default_backend() == "tpu"
 
 
