@@ -131,6 +131,15 @@ def main(argv=None) -> int:
     ntraj = args.ntraj if args.ntraj is not None else cfg.num_trajectories
 
     lat = Lattice(cfg.dims)
+    # the loop-expanded site linalg (a TPU step-speed win) multiplies
+    # HLO size ~10x; for the biggest smeared-HMC trajectory graphs that
+    # can OOM the XLA compiler itself -- auto-select einsum there
+    # (explicit QEX_TPU_LINALG_EINSUM=0/1 always wins)
+    if "QEX_TPU_LINALG_EINSUM" not in os.environ \
+            and lat.volume >= 300_000:
+        os.environ["QEX_TPU_LINALG_EINSUM"] = "1"
+        print("# large volume: using einsum site-linalg "
+              "(compiler-memory bound)")
     on_cpu = jax.devices()[0].platform == "cpu"
     dtype = jnp.complex128 if (on_cpu and jax.config.jax_enable_x64) \
         else jnp.complex64
