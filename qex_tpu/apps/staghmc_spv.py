@@ -178,8 +178,19 @@ def main(argv=None) -> int:
                 jnp.imag(ploop).astype(jnp.float32),
                 jnp.real(plq6).astype(jnp.float32))
 
-    step = jax.jit(lambda k, uu, warm: theory.hmc_step(
-        k, uu, always_accept=warm))
+    # one fused trajectory jit below ~300k sites; above, the Python-loop
+    # split dispatcher (the whole-trajectory XLA program OOMs the
+    # compiler at 24^4+) -- QEX_TPU_SPLIT_TRAJ=0/1 overrides
+    split_env = os.environ.get("QEX_TPU_SPLIT_TRAJ")
+    use_split = (split_env == "1" if split_env is not None
+                 else lat.volume >= 300_000)
+    if use_split:
+        print("# split-step trajectory dispatch (large volume)")
+        step = lambda k, uu, warm: theory.hmc_step_split(
+            k, uu, always_accept=warm)
+    else:
+        step = jax.jit(lambda k, uu, warm: theory.hmc_step(
+            k, uu, always_accept=warm))
 
     n_acc = 0
     for traj in range(start_traj, start_traj + ntraj):

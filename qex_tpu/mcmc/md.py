@@ -201,3 +201,73 @@ def run_trajectory(terms: Sequence[ActionTerm], u0: jax.Array,
 
     (u, p), _ = jax.lax.scan(body, (u0, p0), None, length=g)
     return u, p
+
+
+# --- split-step trajectory (huge-volume compile control) --------------------
+#
+# At the largest volumes the whole-trajectory jit (even scan-compressed)
+# can exceed the XLA compiler's own memory/time envelope: a 24^4
+# nHYP-smeared 3-field trajectory graph OOM-killed the TPU compile
+# helper.  The reference never meets this because it dispatches each MD
+# kick eagerly (MDevolve calls V/T procs one at a time,
+# staghmc_spv.nim:947).  This mode is the TPU analog: a PYTHON loop
+# over the schedule calling a handful of small reusable jits -- one
+# gauge update and one kick graph per kick *signature* (the set of
+# terms kicked together), with the time-step coefficients passed as
+# traced scalars so every kick time reuses the same executable.
+# Dispatch costs ~ms/step; a smeared-force kick costs seconds -- noise.
+
+def _kick_jit(terms, sig, update_u, transform):
+    """Compiled momentum kick for signature ``sig`` = tuple of
+    (term_index, is_force_gradient); coefficients arrive traced."""
+
+    shared_idx = [i for (i, fg) in sig
+                  if transform is not None and terms[i].smeared
+                  and terms[i].chain_force is not None and not fg]
+    rest = [(i, fg) for (i, fg) in sig if i not in shared_idx]
+
+    @jax.jit
+    def kick(u, p, phis, cdts, xidt2s):
+        if shared_idx:
+            ks = [(i, cdts[j], 0.0)
+                  for j, (i, fg) in enumerate(sig) if i in shared_idx]
+            p = _shared_smeared_kick(transform, terms, ks, u, p, phis)
+        for j, (i, fg) in enumerate(sig):
+            if (i, fg) not in rest:
+                continue
+            term = terms[i]
+            if not fg:
+                p = p - cdts[j] * term.force(u, phis[i])
+            else:
+                f1 = term.force(u, phis[i])
+                a = 2.0 * xidt2s[j] / cdts[j]
+                ushift = update_u(u, f1, -a)
+                p = p - cdts[j] * term.force(ushift, phis[i])
+        return p
+
+    return kick
+
+
+def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
+                         p0: jax.Array, phis: Sequence[Any], tau: float,
+                         update_u, transform=None,
+                         ) -> tuple[jax.Array, jax.Array]:
+    """Same math as :func:`run_trajectory`, dispatched as a Python loop
+    of small jits (see comment above).  NOT jit-able itself."""
+    schedule = build_schedule(terms, tau)
+    rdt = jnp.finfo(u0.dtype).dtype  # match scan-path precision
+    upd = jax.jit(lambda u, p, dt: update_u(u, p, dt))
+    kick_fns: dict[tuple, Any] = {}
+    u, p = u0, p0
+    for dt, kicks in schedule:
+        if dt > _EPS:
+            u = upd(u, p, jnp.asarray(dt, rdt))
+        if not kicks:
+            continue
+        sig = tuple((i, x != 0.0) for (i, c, x) in kicks)
+        if sig not in kick_fns:
+            kick_fns[sig] = _kick_jit(terms, sig, update_u, transform)
+        cdts = jnp.asarray([c for (_i, c, _x) in kicks], rdt)
+        xis = jnp.asarray([x for (_i, _c, x) in kicks], rdt)
+        p = kick_fns[sig](u, p, phis, cdts, xis)
+    return u, p

@@ -29,7 +29,7 @@ from ..lattice import Lattice
 from ..ops import group
 from ..physics import stag_hmc
 from ..solvers.base import SolverParams
-from .md import ActionTerm, run_trajectory
+from .md import ActionTerm, run_trajectory, run_trajectory_split
 
 
 @dataclasses.dataclass(frozen=True)
@@ -221,3 +221,40 @@ class LatticeFieldTheory:
         u_out = jnp.where(acc, u1, u)
         return u_out, hmc_mod.HMCState(accepted=acc, dH=dH,
                                        h_old=h_old, h_new=h_new)
+
+    def hmc_step_split(self, key: jax.Array, u: jax.Array,
+                       always_accept: bool | jax.Array = False):
+        """:meth:`hmc_step` dispatched as a Python loop of small jits
+        (md.run_trajectory_split): identical math, but no single
+        whole-trajectory XLA program -- required at volumes where that
+        program exceeds the compiler's own memory envelope (24^4+
+        smeared multi-field theories).  Do NOT wrap in jax.jit."""
+        lat = self.lat
+        transform = (self._smear
+                     if any(t.smeared for t in self.terms) else None)
+
+        @jax.jit
+        def begin(key, u):
+            kp, kf, ka = jax.random.split(key, 3)
+            nd, nc = u.shape[0], u.shape[1]
+            p = jax.vmap(lambda k: group.random_tah(
+                k, u.shape[3:], nc, u.dtype))(jax.random.split(kp, nd))
+            phis = self.heatbath(kf, u)
+            return p, phis, self.hamiltonian(u, p, phis), ka
+
+        @jax.jit
+        def finish(u, u1, p1, phis, h_old, ka, warm):
+            h_new = self.hamiltonian(u1, p1, phis)
+            dH = h_new - h_old
+            r = jax.random.uniform(ka, (), jnp.float32)
+            acc = jnp.logical_or(jnp.asarray(warm), jnp.log(r) < -dH)
+            u_out = jnp.where(acc, u1, u)
+            return u_out, hmc_mod.HMCState(accepted=acc, dH=dH,
+                                           h_old=h_old, h_new=h_new)
+
+        p, phis, h_old, ka = begin(key, u)
+        u1, p1 = run_trajectory_split(self.terms, u, p, phis, self.tau,
+                                      hmc_mod.gauge_update_u,
+                                      transform=transform)
+        return finish(u, u1, p1, phis, h_old, ka,
+                      jnp.asarray(always_accept))

@@ -172,3 +172,25 @@ def test_dynamical_hmc_smeared(lat, u):
     u1, st = theory.hmc_step(jax.random.PRNGKey(13), u)
     # measured -0.21 at these steps
     assert abs(float(st.dH)) < 0.5, float(st.dH)
+
+
+def test_hmc_step_split_matches_fused(lat, u):
+    """The split-step dispatcher (Python loop of small jits, for
+    volumes where the whole-trajectory program OOMs the XLA compiler)
+    reproduces the fused jit trajectory: same key => same dH and same
+    accepted configuration."""
+    theory = LatticeFieldTheory(
+        lat,
+        gauge=GaugeActionSpec(ga.wilson(5.0), steps=8, scheme="2MN"),
+        fermions=[FermionSpec("fermion", mass=0.5, steps=4, scheme="2MN",
+                              smeared=True),
+                  FermionSpec("boson", mass=0.75, steps=4, scheme="2MN",
+                              smeared=True)],
+        smear=HypCoefs(0.4, 0.5, 0.5), bc="pppa",
+        solver_params=SP, tau=0.4)
+    key = jax.random.PRNGKey(21)
+    u1, st1 = jax.jit(theory.hmc_step)(key, u)
+    u2, st2 = theory.hmc_step_split(key, u)
+    assert abs(float(st1.dH) - float(st2.dH)) < 5e-5 * (
+        1.0 + abs(float(st1.dH))), (float(st1.dH), float(st2.dH))
+    assert float(linalg.norm2(u1 - u2)) < 1e-8
