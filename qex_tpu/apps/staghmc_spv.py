@@ -131,15 +131,17 @@ def main(argv=None) -> int:
     ntraj = args.ntraj if args.ntraj is not None else cfg.num_trajectories
 
     lat = Lattice(cfg.dims)
-    # the loop-expanded site linalg (a TPU step-speed win) multiplies
-    # HLO size ~10x; for the biggest smeared-HMC trajectory graphs that
-    # can OOM the XLA compiler itself -- auto-select einsum there
-    # (explicit QEX_TPU_LINALG_EINSUM=0/1 always wins)
-    if "QEX_TPU_LINALG_EINSUM" not in os.environ \
-            and lat.volume >= 300_000:
-        os.environ["QEX_TPU_LINALG_EINSUM"] = "1"
-        print("# large volume: using einsum site-linalg "
-              "(compiler-memory bound)")
+    # Large-volume strategy (both measured at 24^4 nHYP+2PV on v5e):
+    # the FUSED whole-trajectory jit with loop-expanded site linalg
+    # OOM-kills the XLA compiler itself, while the einsum fallback
+    # OOMs device HBM instead (batched 3x3 dot_generals tile-pad ~30x).
+    # So above ~300k sites default to the SPLIT-STEP dispatcher, whose
+    # small per-kick programs keep the compiler happy with the
+    # device-efficient loop-expanded linalg.  QEX_TPU_SPLIT_TRAJ=0/1
+    # and QEX_TPU_LINALG_EINSUM=0/1 override.
+    split_env = os.environ.get("QEX_TPU_SPLIT_TRAJ")
+    use_split = (split_env == "1" if split_env is not None
+                 else lat.volume >= 300_000)
     on_cpu = jax.devices()[0].platform == "cpu"
     dtype = jnp.complex128 if (on_cpu and jax.config.jax_enable_x64) \
         else jnp.complex64
@@ -178,12 +180,6 @@ def main(argv=None) -> int:
                 jnp.imag(ploop).astype(jnp.float32),
                 jnp.real(plq6).astype(jnp.float32))
 
-    # one fused trajectory jit below ~300k sites; above, the Python-loop
-    # split dispatcher (the whole-trajectory XLA program OOMs the
-    # compiler at 24^4+) -- QEX_TPU_SPLIT_TRAJ=0/1 overrides
-    split_env = os.environ.get("QEX_TPU_SPLIT_TRAJ")
-    use_split = (split_env == "1" if split_env is not None
-                 else lat.volume >= 300_000)
     if use_split:
         print("# split-step trajectory dispatch (large volume)")
         step = lambda k, uu, warm: theory.hmc_step_split(
