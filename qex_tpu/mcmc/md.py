@@ -218,20 +218,18 @@ def run_trajectory(terms: Sequence[ActionTerm], u0: jax.Array,
 # Dispatch costs ~ms/step; a smeared-force kick costs seconds -- noise.
 
 def _kick_jit(terms, sig, update_u, transform):
-    """Compiled momentum kick for signature ``sig`` = tuple of
-    (term_index, is_force_gradient); coefficients arrive traced."""
+    """Compiled momentum kick for the non-smeared part of signature
+    ``sig`` = tuple of (term_index, is_force_gradient); coefficients
+    arrive traced.  Smeared kicks are dispatched separately (see
+    run_trajectory_split) so that no single program contains both the
+    smear VJP and the solve chains."""
 
-    shared_idx = [i for (i, fg) in sig
-                  if transform is not None and terms[i].smeared
-                  and terms[i].chain_force is not None and not fg]
-    rest = [(i, fg) for (i, fg) in sig if i not in shared_idx]
+    rest = [(i, fg) for (i, fg) in sig
+            if not (transform is not None and terms[i].smeared
+                    and terms[i].chain_force is not None and not fg)]
 
     @jax.jit
     def kick(u, p, phis, cdts, xidt2s):
-        if shared_idx:
-            ks = [(i, cdts[j], 0.0)
-                  for j, (i, fg) in enumerate(sig) if i in shared_idx]
-            p = _shared_smeared_kick(transform, terms, ks, u, p, phis)
         for j, (i, fg) in enumerate(sig):
             if (i, fg) not in rest:
                 continue
@@ -245,7 +243,37 @@ def _kick_jit(terms, sig, update_u, transform):
                 p = p - cdts[j] * term.force(ushift, phis[i])
         return p
 
-    return kick
+    return (kick if rest else None)
+
+
+def _smeared_split_jits(terms, transform):
+    """Jits for the smeared kick, split so each compiles alone:
+    forward smear, one chain-force per term (contains the solves), an
+    accumulating add, and the smear pullback (recomputes the forward
+    inside the same program -- residuals cannot cross jit boundaries,
+    and one extra smear is cheap next to the solves)."""
+    from ..ops import group, linalg
+
+    smear = jax.jit(transform)
+    add = jax.jit(lambda a, b: a + b)
+
+    def chain_i(i):
+        @jax.jit
+        def chain(v, phi, c):
+            return c * terms[i].chain_force(v, phi)
+        return chain
+
+    @jax.jit
+    def pullback_kick(u, p, chain):
+        _, vjp = jax.vjp(transform, u)
+        (gu,) = vjp(chain)
+        m = jax.vmap(lambda uu, gg: linalg.mul_na(uu, jnp.conj(gg)))(
+            u, gu)
+        return p + jax.vmap(group.tah)(m)
+
+    return smear, add, {i: chain_i(i) for i, t in enumerate(terms)
+                        if t.smeared and t.chain_force is not None}, \
+        pullback_kick
 
 
 def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
@@ -258,16 +286,30 @@ def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
     rdt = jnp.finfo(u0.dtype).dtype  # match scan-path precision
     upd = jax.jit(lambda u, p, dt: update_u(u, p, dt))
     kick_fns: dict[tuple, Any] = {}
+    smear = add = chains = pullback = None
+    if transform is not None:
+        smear, add, chains, pullback = _smeared_split_jits(terms,
+                                                           transform)
     u, p = u0, p0
     for dt, kicks in schedule:
         if dt > _EPS:
             u = upd(u, p, jnp.asarray(dt, rdt))
         if not kicks:
             continue
+        shared = [(i, c) for (i, c, x) in kicks
+                  if chains is not None and i in chains and x == 0.0]
+        if shared:
+            v = smear(u)
+            total = None
+            for (i, c) in shared:
+                ci = chains[i](v, phis[i], jnp.asarray(c, rdt))
+                total = ci if total is None else add(total, ci)
+            p = pullback(u, p, total)
         sig = tuple((i, x != 0.0) for (i, c, x) in kicks)
         if sig not in kick_fns:
             kick_fns[sig] = _kick_jit(terms, sig, update_u, transform)
-        cdts = jnp.asarray([c for (_i, c, _x) in kicks], rdt)
-        xis = jnp.asarray([x for (_i, _c, x) in kicks], rdt)
-        p = kick_fns[sig](u, p, phis, cdts, xis)
+        if kick_fns[sig] is not None:
+            cdts = jnp.asarray([c for (_i, c, _x) in kicks], rdt)
+            xis = jnp.asarray([x for (_i, _c, x) in kicks], rdt)
+            p = kick_fns[sig](u, p, phis, cdts, xis)
     return u, p
