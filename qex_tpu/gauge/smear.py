@@ -68,6 +68,65 @@ class HypCoefs:
     alpha3: float = 0.5
 
 
+_HYP_PAIRS = [(mu, nu) for mu in range(4) for nu in range(4) if nu != mu]
+_HYP_IDX = {p: i for i, p in enumerate(_HYP_PAIRS)}
+
+
+def nhyp_stages(c: HypCoefs, lat: Lattice, proj_iters: int = 14):
+    """The 3 nHYP levels as separately-callable stages:
+    ``v = s3(u, s2(u, s1(u)))`` with stacked-array intermediates
+    (12 link fields per level, _HYP_PAIRS order).
+
+    Exists so huge-volume runs can jit (and VJP) one level at a time --
+    the whole-smear pullback program exceeds the XLA compiler's memory
+    envelope at 24^4 (see mcmc/md.run_trajectory_split)."""
+    nd = lat.nd
+    if nd != 4:
+        raise ValueError("nHYP smearing requires nd=4")
+    proj = partial(linalg.project_u, iters=proj_iters)
+
+    def s1(u):
+        # level 1: L1[mu][nu] -- staple only in direction nu
+        out = []
+        for mu, nu in _HYP_PAIRS:
+            x = ((1.0 - c.alpha1) * u[mu]
+                 + 0.5 * c.alpha1 * sym_staple(u[nu], u[mu], nu, mu, nd))
+            out.append(proj(x))
+        return jnp.stack(out)
+
+    def s2(u, l1):
+        # level 2: staples in the two directions {a, b} complementing
+        # {mu, nu}; side links are level-1 fields decorated with the
+        # other complement direction.
+        out = []
+        for mu, nu in _HYP_PAIRS:
+            comp = [d for d in range(nd) if d not in (mu, nu)]
+            acc = (1.0 - c.alpha2) * u[mu]
+            for a in comp:
+                b = comp[0] if comp[1] == a else comp[1]
+                acc = acc + 0.25 * c.alpha2 * sym_staple(
+                    l1[_HYP_IDX[(a, b)]], l1[_HYP_IDX[(mu, b)]], a, mu,
+                    nd)
+            out.append(proj(acc))
+        return jnp.stack(out)
+
+    def s3(u, l2):
+        # level 3: staples in all nu != mu with level-2 side links
+        out = []
+        for mu in range(nd):
+            acc = (1.0 - c.alpha3) * u[mu]
+            for nu in range(nd):
+                if nu == mu:
+                    continue
+                acc = acc + (c.alpha3 / 6.0) * sym_staple(
+                    l2[_HYP_IDX[(nu, mu)]], l2[_HYP_IDX[(mu, nu)]], nu,
+                    mu, nd)
+            out.append(proj(acc))
+        return jnp.stack(out)
+
+    return s1, s2, s3
+
+
 def nhyp_smear(c: HypCoefs, lat: Lattice, u: jax.Array,
                proj_iters: int = 14) -> jax.Array:
     """3-level nHYP smearing (hypsmear.nim:44-46, smear :260-274).
@@ -75,48 +134,8 @@ def nhyp_smear(c: HypCoefs, lat: Lattice, u: jax.Array,
     Fully differentiable; returns the smeared links V with the same
     shape as ``u``.
     """
-    nd = lat.nd
-    if nd != 4:
-        raise ValueError("nHYP smearing requires nd=4")
-    proj = partial(linalg.project_u, iters=proj_iters)
-
-    # level 1: L1[mu][nu] -- staple only in direction nu
-    l1 = {}
-    for mu in range(nd):
-        for nu in range(nd):
-            if nu == mu:
-                continue
-            x = ((1.0 - c.alpha1) * u[mu]
-                 + 0.5 * c.alpha1 * sym_staple(u[nu], u[mu], nu, mu, nd))
-            l1[(mu, nu)] = proj(x)
-
-    # level 2: L2[mu][nu] -- staples in the two directions {a, b} that
-    # complement {mu, nu}; side links are level-1 fields decorated with
-    # the other complement direction.
-    l2 = {}
-    for mu in range(nd):
-        for nu in range(nd):
-            if nu == mu:
-                continue
-            comp = [d for d in range(nd) if d not in (mu, nu)]
-            acc = (1.0 - c.alpha2) * u[mu]
-            for a in comp:
-                b = comp[0] if comp[1] == a else comp[1]
-                acc = acc + 0.25 * c.alpha2 * sym_staple(
-                    l1[(a, b)], l1[(mu, b)], a, mu, nd)
-            l2[(mu, nu)] = proj(acc)
-
-    # level 3: V[mu] -- staples in all nu != mu with level-2 side links
-    out = []
-    for mu in range(nd):
-        acc = (1.0 - c.alpha3) * u[mu]
-        for nu in range(nd):
-            if nu == mu:
-                continue
-            acc = acc + (c.alpha3 / 6.0) * sym_staple(
-                l2[(nu, mu)], l2[(mu, nu)], nu, mu, nd)
-        out.append(proj(acc))
-    return jnp.stack(out)
+    s1, s2, s3 = nhyp_stages(c, lat, proj_iters)
+    return s3(u, s2(u, s1(u)))
 
 
 def smeared_force(c: HypCoefs, lat: Lattice, u: jax.Array, chain: jax.Array

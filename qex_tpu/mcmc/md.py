@@ -246,15 +246,20 @@ def _kick_jit(terms, sig, update_u, transform):
     return (kick if rest else None)
 
 
-def _smeared_split_jits(terms, transform):
+def _smeared_split_jits(terms, transform, transform_stages=None):
     """Jits for the smeared kick, split so each compiles alone:
     forward smear, one chain-force per term (contains the solves), an
     accumulating add, and the smear pullback (recomputes the forward
     inside the same program -- residuals cannot cross jit boundaries,
-    and one extra smear is cheap next to the solves)."""
+    and one extra smear is cheap next to the solves).
+
+    With ``transform_stages`` (s1, s2, s3 with v = s3(u, s2(u, s1(u))),
+    e.g. gauge.smear.nhyp_stages) the pullback is staged level by
+    level: even the whole-smear forward+VJP program alone exceeds the
+    XLA compiler's memory envelope at 24^4, while one level at a time
+    compiles.  Intermediates cross jit boundaries as plain arrays."""
     from ..ops import group, linalg
 
-    smear = jax.jit(transform)
     add = jax.jit(lambda a, b: a + b)
 
     def chain_i(i):
@@ -263,22 +268,65 @@ def _smeared_split_jits(terms, transform):
             return c * terms[i].chain_force(v, phi)
         return chain
 
+    chains = {i: chain_i(i) for i, t in enumerate(terms)
+              if t.smeared and t.chain_force is not None}
+
     @jax.jit
-    def pullback_kick(u, p, chain):
-        _, vjp = jax.vjp(transform, u)
-        (gu,) = vjp(chain)
+    def finish_kick(u, p, gu):
         m = jax.vmap(lambda uu, gg: linalg.mul_na(uu, jnp.conj(gg)))(
             u, gu)
         return p + jax.vmap(group.tah)(m)
 
-    return smear, add, {i: chain_i(i) for i, t in enumerate(terms)
-                        if t.smeared and t.chain_force is not None}, \
-        pullback_kick
+    if transform_stages is None:
+        smear = jax.jit(transform)
+
+        @jax.jit
+        def pullback_kick(u, p, chain):
+            _, vjp = jax.vjp(transform, u)
+            (gu,) = vjp(chain)
+            return finish_kick(u, p, gu)
+
+        return smear, add, chains, pullback_kick
+
+    s1, s2, s3 = transform_stages
+    j1, j2 = jax.jit(s1), jax.jit(s2)
+
+    @jax.jit
+    def j3(u, a2):
+        return s3(u, a2)
+
+    @jax.jit
+    def pb3(u, a2, g):
+        _, vjp = jax.vjp(s3, u, a2)
+        return vjp(g)  # (gu3, ga2)
+
+    @jax.jit
+    def pb2(u, a1, g):
+        _, vjp = jax.vjp(s2, u, a1)
+        return vjp(g)  # (gu2, ga1)
+
+    @jax.jit
+    def pb1(u, g):
+        _, vjp = jax.vjp(s1, u)
+        return vjp(g)[0]  # gu1
+
+    def smear(u):
+        return j3(u, j2(u, j1(u)))
+
+    def pullback_kick(u, p, chain):
+        a1 = j1(u)
+        a2 = j2(u, a1)
+        gu3, ga2 = pb3(u, a2, chain)
+        gu2, ga1 = pb2(u, a1, ga2)
+        gu1 = pb1(u, ga1)
+        return finish_kick(u, p, add(add(gu3, gu2), gu1))
+
+    return smear, add, chains, pullback_kick
 
 
 def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
                          p0: jax.Array, phis: Sequence[Any], tau: float,
-                         update_u, transform=None,
+                         update_u, transform=None, transform_stages=None,
                          ) -> tuple[jax.Array, jax.Array]:
     """Same math as :func:`run_trajectory`, dispatched as a Python loop
     of small jits (see comment above).  NOT jit-able itself."""
@@ -288,8 +336,8 @@ def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
     kick_fns: dict[tuple, Any] = {}
     smear = add = chains = pullback = None
     if transform is not None:
-        smear, add, chains, pullback = _smeared_split_jits(terms,
-                                                           transform)
+        smear, add, chains, pullback = _smeared_split_jits(
+            terms, transform, transform_stages)
     u, p = u0, p0
     for dt, kicks in schedule:
         if dt > _EPS:

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..gauge.action import (GaugeActionCoeffs, force_from_action,
                             full_action)
-from ..gauge.smear import HypCoefs, nhyp_smear
+from ..gauge.smear import HypCoefs, nhyp_smear, nhyp_stages
 from ..hmc import hmc as hmc_mod
 from ..lattice import Lattice
 from ..ops import group
@@ -232,6 +232,10 @@ class LatticeFieldTheory:
         lat = self.lat
         transform = (self._smear
                      if any(t.smeared for t in self.terms) else None)
+        stages = None
+        if transform is not None and isinstance(self.smear_coefs,
+                                                HypCoefs):
+            stages = nhyp_stages(self.smear_coefs, lat)
 
         @jax.jit
         def begin(key, u):
@@ -255,6 +259,7 @@ class LatticeFieldTheory:
         p, phis, h_old, ka = begin(key, u)
         u1, p1 = run_trajectory_split(self.terms, u, p, phis, self.tau,
                                       hmc_mod.gauge_update_u,
-                                      transform=transform)
+                                      transform=transform,
+                                      transform_stages=stages)
         return finish(u, u1, p1, phis, h_old, ka,
                       jnp.asarray(always_accept))
