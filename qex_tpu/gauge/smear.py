@@ -83,7 +83,11 @@ def nhyp_stages(c: HypCoefs, lat: Lattice, proj_iters: int = 14):
     nd = lat.nd
     if nd != 4:
         raise ValueError("nHYP smearing requires nd=4")
-    proj = partial(linalg.project_u, iters=proj_iters)
+    # checkpoint: the projection's Newton-Schulz iterates are the
+    # dominant VJP residuals (14 iterations x 12 fields/level); storing
+    # only the projection INPUT and recomputing in the backward pass
+    # keeps the per-level pullback inside one chip's HBM at 24^4
+    proj = jax.checkpoint(partial(linalg.project_u, iters=proj_iters))
 
     def s1(u):
         # level 1: L1[mu][nu] -- staple only in direction nu
