@@ -176,6 +176,84 @@ def full_action(c: GaugeActionCoeffs, lat: Lattice, u: jax.Array
     return gauge_action(c, lat, u)
 
 
+# --- hand-structured staple force (plaq + adjplaq) ---------------------------
+#
+# The AD force graph is correct but moves ~5x the roofline HBM traffic
+# (ROUND1.md); for the action pieces the apps actually integrate
+# (plaquette and adjoint-plaquette -- QEX gaugeForce/forceA,
+# gaugeAction.nim:148-333,684-742) we build the classic staple sum by
+# hand with shared transports.  rect/pgm fall back to AD.
+#
+# Derivation (verified against AD in tests/test_gauge_action.py):
+# with P_munu(x) = U_mu(x) U_nu(x+mu) U_mu(x+nu)^+ U_nu(x)^+, the
+# U_mu(y) insertions of Re tr P are the up staple
+# S1 = U_nu(y+mu) U_mu(y+nu)^+ U_nu(y)^+ and the down staple
+# S2 = shift_-nu[U_nu(x+mu)^+ U_mu(x)^+ U_nu(x)], so for
+# S = -(c/nc) sum Re tr P the force is F_mu = (c/nc) tah(U_mu Sig_mu),
+# Sig_mu = sum_nu (S1+S2).  The adjoint-plaquette term |tr P|^2 weights
+# each staple by the complex scalar w = conj(tr P at the plaquette
+# base) BEFORE the (R-linear) tah: F += (2 c_adj/nc^2) tah(sum w U S).
+
+
+def _staple_sums(c: GaugeActionCoeffs, lat: Lattice, u: jax.Array
+                 ) -> list[jax.Array]:
+    """Per-direction weighted staple sums Sig_mu with action
+    coefficients folded in, such that F_mu = tah(U_mu Sig_mu) and the
+    AD-convention gradient is G_mu = -Sig_mu^T."""
+    nd, nc = lat.nd, lat.nc
+    sh = lambda f, mu: jnp.roll(f, -1, f.ndim - nd + mu)
+    su = [[sh(u[a], b) if a != b else None for b in range(nd)]
+          for a in range(nd)]
+    t = [[linalg.mul(u[a], su[b][a]) if a != b else None
+          for b in range(nd)] for a in range(nd)]
+    cp = c.plaq / nc
+    ca = 2.0 * c.adjplaq / (nc * nc)
+    sig = []
+    for mu in range(nd):
+        acc = None
+        for nu in range(nd):
+            if nu == mu:
+                continue
+            s1 = linalg.mul_na(su[nu][mu], t[nu][mu])
+            inner = linalg.mul(linalg.adj(t[mu][nu]), u[nu])
+            if ca != 0.0:
+                # tr P_munu = tr(t1 t2^+); w = conj(tr P)
+                w = jnp.conj(jnp.sum(t[mu][nu] * jnp.conj(t[nu][mu]),
+                                     axis=(0, 1)))
+                s1 = cp * s1 + ca * (w * s1)
+                inner = cp * inner + ca * (jnp.conj(w) * inner)
+            term = s1 + jnp.roll(inner, 1, inner.ndim - nd + nu)
+            acc = term if acc is None else acc + term
+        sig.append(acc if ca != 0.0 else cp * acc)
+    return sig
+
+
+def _hand_part(c: GaugeActionCoeffs) -> GaugeActionCoeffs:
+    return GaugeActionCoeffs(plaq=c.plaq, adjplaq=c.adjplaq)
+
+
+def _ad_part(c: GaugeActionCoeffs) -> GaugeActionCoeffs:
+    return GaugeActionCoeffs(rect=c.rect, pgm=c.pgm)
+
+
+def gauge_force_hand(c: GaugeActionCoeffs, lat: Lattice, u: jax.Array
+                     ) -> jax.Array:
+    """Hand staple force of the plaq+adjplaq part of ``c`` (QEX
+    gaugeForce/forceA parity); rect/pgm must be handled separately."""
+    sig = _staple_sums(c, lat, u)
+    return jnp.stack([group.tah(linalg.mul(u[mu], sig[mu]))
+                      for mu in range(lat.nd)])
+
+
+def gauge_grad_hand(c: GaugeActionCoeffs, lat: Lattice, u: jax.Array
+                    ) -> jax.Array:
+    """AD-convention gradient (dS = Re tr(G^T dU)) of the plaq+adjplaq
+    part -- drop-in for ``jax.grad(full_action)`` in smear chain rules."""
+    sig = _staple_sums(c, lat, u)
+    return jnp.stack([-jnp.swapaxes(sig[mu], 0, 1)
+                      for mu in range(lat.nd)])
+
+
 # --- forces via AD ----------------------------------------------------------
 
 def force_from_action(action_fn: Callable[[jax.Array], jax.Array],
@@ -201,5 +279,32 @@ def force_from_action(action_fn: Callable[[jax.Array], jax.Array],
 
 def gauge_force(c: GaugeActionCoeffs, lat: Lattice, u: jax.Array
                 ) -> jax.Array:
-    """Force of the full gauge action (QEX gaugeForce/forceA parity)."""
-    return force_from_action(partial(full_action, c, lat), u)
+    """Force of the full gauge action (QEX gaugeForce/forceA parity).
+
+    Dispatch: hand staple sums for the plaq/adjplaq parts (~3x less
+    HBM traffic than the AD graph), AD for rect/pgm remainders."""
+    f = None
+    if c.plaq != 0.0 or c.adjplaq != 0.0:
+        f = gauge_force_hand(c, lat, u)
+    if c.rect != 0.0 or c.pgm != 0.0:
+        fr = force_from_action(partial(full_action, _ad_part(c), lat), u)
+        f = fr if f is None else f + fr
+    if f is None:
+        f = jnp.zeros_like(u)
+    return f
+
+
+def gauge_grad(c: GaugeActionCoeffs, lat: Lattice, u: jax.Array
+               ) -> jax.Array:
+    """AD-convention complex gradient of the full gauge action --
+    drop-in for ``jax.grad(full_action)`` (used by smear chain rules);
+    hand staples for plaq/adjplaq, AD for rect/pgm."""
+    g = None
+    if c.plaq != 0.0 or c.adjplaq != 0.0:
+        g = gauge_grad_hand(c, lat, u)
+    if c.rect != 0.0 or c.pgm != 0.0:
+        gr = jax.grad(partial(full_action, _ad_part(c), lat))(u)
+        g = gr if g is None else g + gr
+    if g is None:
+        g = jnp.zeros_like(u)
+    return g

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..lattice import Lattice
 from ..ops import linalg
 from . import loops
-from .action import GaugeActionCoeffs, force_from_action, full_action
+from .action import GaugeActionCoeffs, full_action, gauge_force
 
 
 def wilson_flow_coeffs(nc: int = 3) -> GaugeActionCoeffs:
@@ -41,7 +41,7 @@ def wilson_flow_coeffs(nc: int = 3) -> GaugeActionCoeffs:
 def flow_generator(c: GaugeActionCoeffs, lat: Lattice,
                    u: jax.Array) -> jax.Array:
     """Z(U) with dU/dt = Z U descending the action (QEX wflow's ``f``)."""
-    return -force_from_action(partial(full_action, c, lat), u)
+    return -gauge_force(c, lat, u)
 
 
 def _exp_mul(z: jax.Array, u: jax.Array) -> jax.Array:

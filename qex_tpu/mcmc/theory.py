@@ -104,11 +104,17 @@ class LatticeFieldTheory:
                 v = self._smear(u) if smeared else u
                 return full_action(gc, lat, v)
 
-            def g_force(u, _phi, g_action=g_action):
+            def g_force(u, _phi, gc=gc, smeared=smeared,
+                        g_action=g_action):
+                if not smeared:
+                    # hand staple force (plaq/adjplaq) + AD remainder
+                    from ..gauge.action import gauge_force
+                    return gauge_force(gc, lat, u)
                 return force_from_action(lambda uu: g_action(uu, None), u)
 
             def g_chain(v, _phi, gc=gc):
-                return jax.grad(lambda vv: full_action(gc, lat, vv))(v)
+                from ..gauge.action import gauge_grad
+                return gauge_grad(gc, lat, v)
 
             name = "smeared_gauge" if smeared else "gauge"
             terms.append(ActionTerm(f"{name}{gi}", g_action, g_force,

@@ -218,3 +218,22 @@ def test_yoshida_order_scaling(lat, u):
     assert abs(dh(y6, 16)) < abs(d16)
     # 6MN7FV alias resolves to a 6th-order scheme
     assert integrators.get_integrator("6MN7FV").name == "YOSHIDA6"
+
+
+@pytest.mark.parametrize("coeffs", [
+    ga.wilson(5.5),
+    ga.adjoint_action(5.0, -0.25),
+    ga.symanzik(4.8),
+])
+def test_hand_staple_force_matches_ad(lat, u, coeffs):
+    """gauge_force/gauge_grad (hand staples for plaq/adjplaq + AD
+    remainder) == pure-AD force/grad to machine precision."""
+    from functools import partial
+    f_ad = ga.force_from_action(partial(ga.full_action, coeffs, lat), u)
+    f_h = ga.gauge_force(coeffs, lat, u)
+    np.testing.assert_allclose(np.asarray(jnp.max(jnp.abs(f_ad - f_h))),
+                               0.0, atol=1e-12)
+    g_ad = jax.grad(partial(ga.full_action, coeffs, lat))(u)
+    g_h = ga.gauge_grad(coeffs, lat, u)
+    np.testing.assert_allclose(np.asarray(jnp.max(jnp.abs(g_ad - g_h))),
+                               0.0, atol=1e-12)
