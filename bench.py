@@ -8,9 +8,14 @@ using the reference's own flop model (18 + nd*(72+66+6) = 594 flops/site,
 /root/reference/src/physics/stagD.nim:393) so the number is directly
 comparable to QEX's self-reported Gflops.  The reference publishes no
 absolute numbers (BASELINE.md), so ``vs_baseline`` reports the fraction
-of the HBM-bandwidth roofline achieved -- the honest speed-of-light
-measure for this bandwidth-bound kernel (arith intensity ~0.75 flop/B in
-complex64).
+of the spec-bandwidth roofline achieved -- the speed-of-light measure
+for this bandwidth-bound kernel (arith intensity ~0.75 flop/B in
+complex64).  vs_baseline uses the SPEC bandwidth table for cross-round
+comparability; the practical bandwidth of the attached chip is also
+MEASURED with a jitted axpy stream and printed to stderr (tunneled
+chips have been observed at ~330-450 GB/s practical vs the 819 GB/s
+v5e spec, so the kernel can exceed 100% of the *measured-stream*
+roofline thanks to its 672 B/site actual traffic vs the 792 B model).
 
 Backend notes: on the axon-tunneled TPU, eager dispatch and complex
 host transfers are unsupported -- ALL computation here lives inside jit
@@ -129,17 +134,22 @@ def main() -> None:
 
     use_pallas = on_tpu
     if use_pallas:
-        from qex_tpu.physics import stag_pallas as sp
+        from qex_tpu.physics import stag_pallas3 as sp
 
         @jax.jit
-        def chain(ge, go, v):
-            """iters dependent d2ee applications (fused Pallas stencil
-            kernel); returns a real scalar."""
-            so = sp.PallasStagEO(lat, sp._split(ge), sp._split(go))
+        def make_op(ge, go):
+            p = sp.new_pallas3(sf.FastStagEO(lat, ge, go))
+            return p.l_e, p.l_o
+
+        @jax.jit
+        def chain(le, lo, v):
+            """iters dependent d2ee applications (fused v3 Pallas
+            stencil kernel); returns a real scalar."""
+            so = sp.PallasStagEO3(lat, le, lo)
             vs = sp._split(v)
 
             def body(vs, _):
-                w = sp.d2ee_pallas(so, vs, mass)
+                w = sp.d2ee_pallas3(so, vs, mass)
                 w = w / jnp.sqrt(jnp.sum(w * w))
                 return w, None
 
@@ -161,11 +171,36 @@ def main() -> None:
             return jnp.real(linalg.norm2(v)).astype(jnp.float32)
 
     ge, go, x = setup(jax.random.PRNGKey(2024))
-    float(chain(ge, go, x))          # compile + warm
+    if use_pallas:
+        args = make_op(ge, go)
+    else:
+        args = (ge, go)
+    float(chain(*args, x))           # compile + warm
     t0 = time.perf_counter()
-    float(chain(ge, go, x))          # scalar fetch = hard sync
+    float(chain(*args, x))           # scalar fetch = hard sync
     t_total = time.perf_counter() - t0
     t = t_total / (iters * napp)     # per Dslash application
+
+    # measured practical stream bandwidth of THIS chip (read+write
+    # axpy over 512 MB x 20 passes) -- the honest roofline basis
+    nbw = 128 * 1024 * 1024
+
+    @jax.jit
+    def bw_setup():
+        return jnp.ones((nbw,), jnp.float32)
+
+    @jax.jit
+    def bw_chain(xb):
+        def body(xb, _):
+            return xb * 1.000001 + 1e-9, None
+        xb, _ = jax.lax.scan(body, xb, None, length=20)
+        return jnp.sum(xb[:8]).astype(jnp.float32)
+
+    xb = bw_setup()
+    float(bw_chain(xb))
+    t0 = time.perf_counter()
+    float(bw_chain(xb))
+    bw_meas = 20 * 2 * 4 * nbw / (time.perf_counter() - t0) / 1e9
 
     sites_out = lat.volume // 2
     flops = st.dslash_flops_per_site(lat.nd, lat.nc) * sites_out
@@ -174,28 +209,28 @@ def main() -> None:
     # roofline: bytes per output site in complex64 --
     # 8 link matrices (72 B) + 8 neighbor spinors (24 B) + 1 write (24 B)
     bytes_per_site = 8 * 72 + 8 * 24 + 24
-    bw = detect_hbm_bw_gbs(dev)
-    roofline_gflops = bw * flops / (bytes_per_site * sites_out)
-    frac = gflops / roofline_gflops
+    bw_spec = detect_hbm_bw_gbs(dev)
+    roofline_spec = bw_spec * flops / (bytes_per_site * sites_out)
+    roofline_meas = bw_meas * flops / (bytes_per_site * sites_out)
+    frac = gflops / roofline_spec
     gbs = bytes_per_site * sites_out / t / 1e9
 
     print(f"# device={dev.device_kind} dims={dims} "
           f"Dslash: {t*1e3:.3f} ms/app, {gflops:.1f} GFLOP/s (model), "
-          f"{gbs:.0f} GB/s moved, roofline {roofline_gflops:.0f} GFLOP/s "
-          f"@ {bw:.0f} GB/s -> {100*frac:.1f}% of roofline",
-          file=sys.stderr)
+          f"{gbs:.0f} GB/s moved (model bytes); spec roofline "
+          f"{roofline_spec:.0f} GFLOP/s @ {bw_spec:.0f} GB/s -> "
+          f"{100*frac:.1f}%; measured stream BW {bw_meas:.0f} GB/s "
+          f"(practical roofline {roofline_meas:.0f} -> "
+          f"{100*gflops/roofline_meas:.1f}%)", file=sys.stderr)
 
     # --- CG solve (secondary, stderr) -------------------------------------
     try:
         if use_pallas:
-            from qex_tpu.physics import stag_pallas as sp2
-
             @jax.jit
-            def cg_run(ge, go, be):
-                so = sp2.PallasStagEO(lat, sp2._split(ge),
-                                      sp2._split(go))
-                op = lambda v: sp2._join(
-                    sp2.d2ee_pallas(so, sp2._split(v), mass))
+            def cg_run(le, lo, be):
+                so = sp.PallasStagEO3(lat, le, lo)
+                op = lambda v: sp._join(
+                    sp.d2ee_pallas3(so, sp._split(v), mass))
                 xe, stats = cg.cg_solve_restarted(
                     op, be, r2req=1e-12, maxits=500, restarts=2)
                 return (jnp.real(stats.r2).astype(jnp.float32),
@@ -210,10 +245,10 @@ def main() -> None:
                 return (jnp.real(stats.r2).astype(jnp.float32),
                         stats.iterations.astype(jnp.float32))
 
-        r2, its = cg_run(ge, go, x)
+        r2, its = cg_run(*args, x)
         float(r2)
         t0 = time.perf_counter()
-        r2, its = cg_run(ge, go, x)
+        r2, its = cg_run(*args, x)
         r2v = float(r2)
         t_cg = time.perf_counter() - t0
         print(f"# CG {dims} m={mass}: {t_cg:.3f} s, its={int(float(its))}, "

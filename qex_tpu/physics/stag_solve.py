@@ -58,18 +58,32 @@ def solve_ee(s: st.StaggeredEO, b_e: jax.Array, m: float,
         op_true = None
         floor = 1e-12
         if _use_pallas(s.lat):
-            from . import stag_pallas as sp
+            # v3 (pre-shifted links, full-Z blocks, manual link DMA,
+            # 672 B/site) when it fits VMEM; z-blocked v1 otherwise
+            from . import stag_pallas3 as sp3
+            v3 = sp3.fits(s.lat)
             if params.sloppy:
                 # bf16-link inner iterations + f32 true-residual
                 # restarts; inner tolerance pinned at the bf16 noise
                 # floor so no iterations stall (measured: FEWER total
                 # iterations than pure f32 at equal true residual)
-                psb = sp.new_pallas(fs, links_dtype=jnp.bfloat16)
-                op = lambda v: sp._join(
-                    sp.d2ee_pallas(psb, sp._split(v), m))
                 op_true = partial(sf.d2ee_fast, fs, m=m)
                 floor = 1e-5
+                if v3:
+                    psb = sp3.new_pallas3(fs, links_dtype=jnp.bfloat16)
+                    op = lambda v: sp3._join(
+                        sp3.d2ee_pallas3(psb, sp3._split(v), m))
+                else:
+                    from . import stag_pallas as sp
+                    psb = sp.new_pallas(fs, links_dtype=jnp.bfloat16)
+                    op = lambda v: sp._join(
+                        sp.d2ee_pallas(psb, sp._split(v), m))
+            elif v3:
+                ps = sp3.new_pallas3(fs)
+                op = lambda v: sp3._join(
+                    sp3.d2ee_pallas3(ps, sp3._split(v), m))
             else:
+                from . import stag_pallas as sp
                 ps = sp.new_pallas(fs)
                 op = lambda v: sp._join(
                     sp.d2ee_pallas(ps, sp._split(v), m))

@@ -1,0 +1,68 @@
+"""Pallas Dslash kernels vs the XLA fast-layout oracle (interpret mode).
+
+The fused stencil kernels (stag_pallas v1, stag_pallas3 manual-DMA v3)
+are the TPU hot path (QEX src/physics/stagD.nim:200-396 role); on the
+CPU test mesh they run in Pallas interpret mode, which executes the
+same kernel logic (including the async link DMAs) without Mosaic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qex_tpu.lattice import Lattice
+from qex_tpu.ops import group, linalg
+from qex_tpu.physics import stag_fast as sf
+from qex_tpu.physics import stag_pallas as sp
+from qex_tpu.physics import stag_pallas3 as sp3
+from qex_tpu.physics import staggered as st
+
+
+@pytest.fixture(scope="module")
+def setup():
+    lat = Lattice((8, 4, 4, 8))
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 5)
+    u = jnp.stack([
+        linalg.expm(0.7 * group.random_tah(ks[i], lat.dims, lat.nc,
+                                           jnp.complex64))
+        for i in range(4)])
+    s = sf.new_fast(st.new_stag_eo(lat, u))
+    x = jax.random.normal(ks[4], (3, 8, 4, 4, 4),
+                          jnp.float32).astype(jnp.complex64)
+    return lat, s, sf.to_fast(x, lat)
+
+
+@pytest.mark.parametrize("parity", [0, 1])
+def test_pallas_v1_matches_fast(setup, parity):
+    lat, s, xf = setup
+    ref = sf.dslash_fast(s, xf, parity)
+    p1 = sp.new_pallas(s)
+    got = sp.dslash_pallas_c(p1, xf, parity, interpret=True)
+    dev = float(jnp.sum(jnp.abs(got - ref) ** 2)
+                / jnp.sum(jnp.abs(ref) ** 2))
+    assert dev < 1e-12
+
+
+@pytest.mark.parametrize("parity", [0, 1])
+def test_pallas_v3_matches_fast(setup, parity):
+    lat, s, xf = setup
+    ref = sf.dslash_fast(s, xf, parity)
+    p3 = sp3.new_pallas3(s)
+    got = sp3.dslash_pallas3_c(p3, xf, parity, interpret=True)
+    dev = float(jnp.sum(jnp.abs(got - ref) ** 2)
+                / jnp.sum(jnp.abs(ref) ** 2))
+    assert dev < 1e-12
+
+
+def test_pallas_v3_d2ee_matches_fast(setup):
+    lat, s, xf = setup
+    m = 0.25
+    ref = sf.d2ee_fast(s, xf, m)
+    p3 = sp3.new_pallas3(s)
+    got = sp3._join(sp3.d2ee_pallas3(p3, sp3._split(xf), m,
+                                     interpret=True))
+    dev = float(jnp.sum(jnp.abs(got - ref) ** 2)
+                / jnp.sum(jnp.abs(ref) ** 2))
+    assert dev < 1e-12
