@@ -87,9 +87,15 @@ def _block_orthonormalize(w: jax.Array, eps: float = 1e-30) -> jax.Array:
 def mg_setup(lat: Lattice, op: Callable, nvec: int = 8, bs: int = 2,
              relax_iters: int = 30, relax_step: float = 0.2,
              seed: int = 0, dtype=jnp.complex64,
-             ns: int = 4) -> MGSetup:
+             ns: int = 4, chiral: bool = False) -> MGSetup:
     """Adaptive setup: relax random vectors toward the near-null space
-    of ``op`` (QEX wmgsetup analog), then block-orthonormalize."""
+    of ``op`` (QEX wmgsetup analog), then block-orthonormalize.
+
+    ``chiral=True`` (requires ns=4, chiral gamma basis): split each
+    near-null vector into its two gamma5 chiralities before the block
+    orthonormalization, so span(P) is gamma5-invariant and the coarse
+    operator inherits gamma5-hermiticity (the production Wilson-MG
+    construction; doubles the coarse dof per near-null vector)."""
     key = jax.random.PRNGKey(seed)
     shape = (nvec, ns, lat.nc) + lat.dims
     rdtype = jnp.finfo(dtype).dtype
@@ -104,6 +110,12 @@ def mg_setup(lat: Lattice, op: Callable, nvec: int = 8, bs: int = 2,
         return jax.lax.fori_loop(0, relax_iters, body, vk)
 
     v = jax.vmap(relax_one)(v)
+    if chiral:
+        if ns != 4:
+            raise ValueError("chiral splitting requires ns=4")
+        # g5 = diag(1,1,-1,-1) (physics/wilson.py:55): upper/lower
+        # spin doublets are the two chiralities
+        v = jnp.concatenate([v.at[:, 2:].set(0), v.at[:, :2].set(0)])
     vb = jax.vmap(lambda x: _block_reshape(x, lat, bs))(v)
     w = _block_orthonormalize(vb)
     return MGSetup(lat, bs, w)

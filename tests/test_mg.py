@@ -78,3 +78,43 @@ def test_mg_beats_plain_gcr_iterations(system):
                          max_restarts=30)
     assert int(s2.iterations) < int(s1.iterations), (
         int(s1.iterations), int(s2.iterations))
+
+
+def test_chiral_setup_transfer_identities(system):
+    """Chirality-split prolongator: R P = I on the (doubled) coarse
+    space, and the split preserves gamma5-invariance of span(P):
+    g5 P c is still in span(P)."""
+    lat, op, b = system
+    setup = mg_setup(lat, op, nvec=3, bs=2, dtype=DT, chiral=True)
+    assert setup.nvec == 6  # doubled
+    key = jax.random.PRNGKey(7)
+    c = (jax.random.normal(key, (6, 2, 2, 2, 2))
+         + 1j * jax.random.normal(jax.random.fold_in(key, 1),
+                                  (6, 2, 2, 2, 2))).astype(DT)
+    c_back = restrict(setup, prolong(setup, c))
+    assert float(linalg.norm2(c_back - c)) < 1e-20 * float(
+        linalg.norm2(c))
+    # g5-invariance: P R (g5 P c) == g5 P c
+    from qex_tpu.physics.wilson import gamma_matrices
+    g5 = jnp.asarray(gamma_matrices()[4], DT)
+    v = prolong(setup, c)
+    g5v = jnp.einsum("st,tc...->sc...", g5, v)
+    proj = prolong(setup, restrict(setup, g5v))
+    assert float(linalg.norm2(proj - g5v)) < 1e-18 * float(
+        linalg.norm2(g5v))
+
+
+def test_kcycle_converges_and_beats_plain(system):
+    """Multi-level K-cycle (chiral, 2 coarsening steps) converges and
+    reduces outer iterations vs unpreconditioned GCR."""
+    from qex_tpu.mg import mg_solve_kcycle
+    lat, op, b = system
+    x1, s1 = gcr_solve(op, b, r2req=1e-12, m=10, max_restarts=30)
+    x2, s2, h = mg_solve_kcycle(lat, op, b, nlevels=2, nvec=3, bs=2,
+                                chiral=True, r2req=1e-12, m=10,
+                                max_restarts=30)
+    rel = float(linalg.norm2(op(x2) - b)) / float(linalg.norm2(b))
+    assert rel < 1e-10, rel
+    assert int(s2.iterations) < int(s1.iterations), (
+        int(s1.iterations), int(s2.iterations))
+    assert len(h.setups) == 2
