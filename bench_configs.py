@@ -154,10 +154,12 @@ def main(argv=None) -> int:
 
         @jax.jit
         def cfg5(fl, ll, bb):
+            from qex_tpu.physics import stag_fast as sfst
             s3 = st.new_stag3_eo(lat, fl, ll)
-            base = lambda x: st.d2dd3(s3, x, parity=0)
+            f3 = sfst.new_fast3(s3)
+            base = lambda x: sfst.d2dd3_fast(f3, x, parity=0)
             masses = [0.05, 0.1, 0.2, 0.4]
-            xs, stats = cgm.cg_multishift(base, bb,
+            xs, stats = cgm.cg_multishift(base, sfst.to_fast(bb, lat),
                                           [m * m for m in masses],
                                           r2req=1e-10, maxits=600)
             return (jnp.real(stats.r2).astype(jnp.float32),

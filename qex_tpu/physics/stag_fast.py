@@ -72,29 +72,38 @@ def _coords(lat: Lattice):
 
 
 def shift_fast(f: jax.Array, mu: int, sign: int, parity_out: int,
-               lat: Lattice) -> jax.Array:
-    """Nearest-neighbor eo shift in the fast layout (dist=1)."""
+               lat: Lattice, dist: int = 1) -> jax.Array:
+    """Odd-distance eo shift in the fast layout (dist=1 hopping,
+    dist=3 naik)."""
     X = lat.dims[0]
+    d = dist
     if mu == 0:       # x: lane roll + boundary-column wrap fix
         xg, _, _ = _coords(lat)
         if sign > 0:
-            a = jnp.roll(f, -1, -1)
-            b = jnp.roll(f, X - 1, -1)
-            return jnp.where(xg == X - 1, b, a)
-        a = jnp.roll(f, 1, -1)
-        b = jnp.roll(f, -(X - 1), -1)
-        return jnp.where(xg == 0, b, a)
+            a = jnp.roll(f, -d, -1)
+            b = jnp.roll(f, X - d, -1)
+            return jnp.where(xg >= X - d, b, a)
+        a = jnp.roll(f, d, -1)
+        b = jnp.roll(f, -(X - d), -1)
+        return jnp.where(xg < d, b, a)
     if mu == 1:       # y: lane roll by X (periodic in y exactly, since
-        return jnp.roll(f, -sign * X, -1)  # the minor axis is (y,x))
+        return jnp.roll(f, -sign * d * X, -1)  # the minor axis is (y,x))
     if mu == 2:       # z
-        return jnp.roll(f, -sign, -2)
-    # t: parity-dependent select between th and th+-1
+        return jnp.roll(f, -sign * d, -2)
+    # t (odd dist): global t = 2*th + b with b = (parity + x+y+z) % 2;
+    # t + sign*d lands at th + sign*(d+1)/2 when b==1 (fwd) / b==0
+    # (bwd), else th + sign*(d-1)/2
+    if d % 2 != 1:
+        raise ValueError("fast t-shift supports odd distances only")
     xg, yg, zg = _coords(lat)
     s = ((parity_out + xg + yg + zg) % 2).astype(bool)
+    lo, hi = (d - 1) // 2, (d + 1) // 2
     if sign > 0:
-        base, extra = f, jnp.roll(f, -1, -3)
+        base = f if lo == 0 else jnp.roll(f, -lo, -3)
+        extra = jnp.roll(f, -hi, -3)
     else:
-        base, extra = jnp.roll(f, 1, -3), f
+        base = jnp.roll(f, hi, -3)
+        extra = f if lo == 0 else jnp.roll(f, lo, -3)
     return jnp.where(s, extra, base)
 
 
@@ -119,3 +128,72 @@ def d2ee_fast(s: FastStagEO, x_e: jax.Array, m: float) -> jax.Array:
     t = dslash_fast(s, x_e, parity_out=1)
     y = dslash_fast(s, t, parity_out=0)
     return (m * m) * x_e - y
+
+
+def d2dd_fast(s: FastStagEO, x: jax.Array, parity: int = 0
+              ) -> jax.Array:
+    """Mass-free normal operator -D_eo D_oe (multishift base)."""
+    t = dslash_fast(s, x, parity_out=1 - parity)
+    return -dslash_fast(s, t, parity_out=parity)
+
+
+# --- fat + naik (HISQ) operator in the fast layout -------------------------
+
+@dataclasses.dataclass(frozen=True)
+class FastStag3EO:
+    """Lane-packed eo fat+naik operator (QEX ``newStag3``,
+    src/physics/stagD.nim:543, in the TPU fast layout)."""
+
+    lat: Lattice
+    gf_e: jax.Array   # (nd, nc, nc, Th, Z, Y*X) fat links
+    gf_o: jax.Array
+    gl_e: jax.Array   # long (3-hop) links, naik coeff folded in
+    gl_o: jax.Array
+
+
+def new_fast3(s) -> FastStag3EO:
+    """From a staggered.Staggered3EO."""
+    lat = s.lat
+    if lat.nd != 4:
+        raise ValueError("fast path requires nd=4")
+    return FastStag3EO(lat, to_fast(s.gf_e, lat), to_fast(s.gf_o, lat),
+                       to_fast(s.gl_e, lat), to_fast(s.gl_o, lat))
+
+
+def dslash3_fast(s: FastStag3EO, x_src: jax.Array, parity_out: int
+                 ) -> jax.Array:
+    """Fat (1-hop) + naik (3-hop) hopping term in the fast layout
+    (same math as staggered.dslash3_eo)."""
+    gf_out = s.gf_e if parity_out == 0 else s.gf_o
+    gf_src = s.gf_o if parity_out == 0 else s.gf_e
+    gl_out = s.gl_e if parity_out == 0 else s.gl_o
+    gl_src = s.gl_o if parity_out == 0 else s.gl_e
+    from ..ops import linalg
+    mv, mv_an = linalg.mv, linalg.mv_an   # loop-expanded on TPU
+    out = None
+    for mu in range(4):
+        fwd = mv(gf_out[mu], shift_fast(x_src, mu, +1, parity_out,
+                                        s.lat))
+        bwd = shift_fast(mv_an(gf_src[mu], x_src), mu, -1, parity_out,
+                         s.lat)
+        term = fwd - bwd
+        fwd3 = mv(gl_out[mu], shift_fast(x_src, mu, +1, parity_out,
+                                         s.lat, dist=3))
+        bwd3 = shift_fast(mv_an(gl_src[mu], x_src), mu, -1, parity_out,
+                          s.lat, dist=3)
+        term = term + fwd3 - bwd3
+        out = term if out is None else out + term
+    return 0.5 * out
+
+
+def d2ee3_fast(s: FastStag3EO, x_e: jax.Array, m: float) -> jax.Array:
+    t = dslash3_fast(s, x_e, parity_out=1)
+    y = dslash3_fast(s, t, parity_out=0)
+    return (m * m) * x_e - y
+
+
+def d2dd3_fast(s: FastStag3EO, x: jax.Array, parity: int = 0
+               ) -> jax.Array:
+    """Mass-free fat+naik normal operator (multishift base)."""
+    t = dslash3_fast(s, x, parity_out=1 - parity)
+    return -dslash3_fast(s, t, parity_out=parity)

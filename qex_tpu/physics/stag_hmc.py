@@ -205,8 +205,19 @@ class HisqFermion:
         def solve_x(u, phi):
             fl, ll = self._links(u)
             s3 = st.new_stag3_eo(self.lat, fl, ll)
-            op = lambda v: st.d2ee3(s3, v, self.m)
             from ..solvers import cg as cgmod
+            if self.lat.nd == 4:
+                # lane-packed fast layout brackets the Krylov solve
+                from . import stag_fast as sfst
+                f3 = sfst.new_fast3(s3)
+                op = lambda v: sfst.d2ee3_fast(f3, v, self.m)
+                xf, _ = cgmod.cg_solve_restarted(
+                    op, sfst.to_fast(phi, self.lat),
+                    r2req=self.params.r2req,
+                    maxits=self.params.maxits,
+                    restarts=self.params.restarts)
+                return sfst.from_fast(xf, self.lat)
+            op = lambda v: st.d2ee3(s3, v, self.m)
             x, _ = cgmod.cg_solve_restarted(
                 op, phi, r2req=self.params.r2req,
                 maxits=self.params.maxits,
@@ -243,8 +254,18 @@ class HisqFermion:
         from ..solvers import cgm
         fl, ll = self._links(u)
         s3 = st.new_stag3_eo(self.lat, fl, ll)
-        base = lambda x: st.d2dd3(s3, x, parity=0)
         shifts = [m * m for m in masses]
+        if self.lat.nd == 4:
+            from . import stag_fast as sfst
+            f3 = sfst.new_fast3(s3)
+            base = lambda x: sfst.d2dd3_fast(f3, x, parity=0)
+            xs, stats = cgm.cg_multishift(base,
+                                          sfst.to_fast(b_e, self.lat),
+                                          shifts,
+                                          r2req=self.params.r2req,
+                                          maxits=self.params.maxits)
+            return [sfst.from_fast(x, self.lat) for x in xs], stats
+        base = lambda x: st.d2dd3(s3, x, parity=0)
         return cgm.cg_multishift(base, b_e, shifts,
                                  r2req=self.params.r2req,
                                  maxits=self.params.maxits)
@@ -329,7 +350,16 @@ class StagRootedFermion:
     params: SolverParams = SolverParams(r2req=1e-12, maxits=2000, restarts=1)
 
     def _base_op(self, u):
+        """Canonical-layout base op; 4D lattices route each
+        application through the lane-packed fast layout (the
+        conversion transposes are ~5%% of the matvec win)."""
         s = st.new_stag_eo(self.lat, u, self.bc)
+        if self.lat.nd == 4:
+            from . import stag_fast as sfst
+            fs = sfst.new_fast(s)
+            return lambda x: sfst.from_fast(
+                sfst.d2dd_fast(fs, sfst.to_fast(x, self.lat), 0),
+                self.lat)
         return lambda x: st.d2dd(s, x, parity=0)
 
     def _spectral_range(self) -> tuple[float, float]:

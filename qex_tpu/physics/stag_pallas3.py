@@ -286,6 +286,14 @@ def d2ee_pallas3(s: PallasStagEO3, x_e_split: jax.Array, m: float,
     return (m * m) * x_e_split - y
 
 
+def d2dd_pallas3(s: PallasStagEO3, x_split: jax.Array, parity: int = 0,
+                 interpret: bool = False) -> jax.Array:
+    """Mass-free normal operator -D_eo D_oe on split-real vectors."""
+    t = dslash_pallas3(s, x_split, parity_out=1 - parity,
+                       interpret=interpret)
+    return -dslash_pallas3(s, t, parity_out=parity, interpret=interpret)
+
+
 def dslash_pallas3_c(s: PallasStagEO3, x: jax.Array, parity_out: int,
                      interpret: bool = False) -> jax.Array:
     """complex64 fast-layout wrapper."""

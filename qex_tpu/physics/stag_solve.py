@@ -138,8 +138,29 @@ def solve_multi(s: st.StaggeredEO, b_e: jax.Array, masses: list[float],
     """
     from ..solvers import cgm
 
-    base = partial(st.d2dd, s, parity=0)  # -D_eo D_oe (shift-free part)
     shifts = [m * m for m in masses]
+    if s.lat.nd == 4:
+        from . import stag_fast as sf
+        fs = sf.new_fast(s)
+        if _use_pallas(s.lat):
+            from . import stag_pallas3 as sp3
+            if sp3.fits(s.lat):
+                ps = sp3.new_pallas3(fs)
+                base = lambda v: sp3._join(
+                    sp3.d2dd_pallas3(ps, sp3._split(v), 0))
+            else:
+                from . import stag_pallas as sp
+                p1 = sp.new_pallas(fs)
+                # d2ee at m=0 is exactly the shift-free base -D_eo D_oe
+                base = lambda v: sp._join(
+                    sp.d2ee_pallas(p1, sp._split(v), 0.0))
+        else:
+            base = partial(sf.d2dd_fast, fs, parity=0)
+        xs, stats = cgm.cg_multishift(base, sf.to_fast(b_e, s.lat),
+                                      shifts, r2req=params.r2req,
+                                      maxits=params.maxits)
+        return [sf.from_fast(x, s.lat) for x in xs], stats
+    base = partial(st.d2dd, s, parity=0)  # -D_eo D_oe (shift-free part)
     xs, stats = cgm.cg_multishift(base, b_e, shifts, r2req=params.r2req,
                                   maxits=params.maxits)
     return xs, stats

@@ -70,3 +70,39 @@ def test_dslash_and_d2ee_match(lat, setup):
                          lat)
     assert float(linalg.norm2(fast2 - ref2)) < 1e-24 * float(
         linalg.norm2(ref2))
+
+
+def test_fast3_matches_canonical():
+    """Fast-layout fat+naik operator is bit-identical to the canonical
+    eo implementation (dslash3, d2ee3, d2dd3; incl. dist-3 t shifts)."""
+    import jax
+    import jax.numpy as jnp
+    from qex_tpu.lattice import Lattice
+    from qex_tpu.ops import group, linalg
+    from qex_tpu.physics import staggered as st
+    from qex_tpu.physics import stag_fast as sf
+
+    lat = Lattice((8, 4, 4, 8))
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 9)
+    fat = jnp.stack([linalg.expm(
+        0.5 * group.random_tah(ks[i], lat.dims, lat.nc, jnp.complex64))
+        for i in range(4)])
+    lng = jnp.stack([linalg.expm(
+        0.5 * group.random_tah(ks[4 + i], lat.dims, lat.nc,
+                               jnp.complex64)) for i in range(4)])
+    s3 = st.new_stag3_eo(lat, fat, lng)
+    f3 = sf.new_fast3(s3)
+    x = jax.random.normal(ks[8], (3, 8, 4, 4, 4),
+                          jnp.float32).astype(jnp.complex64)
+    xf = sf.to_fast(x, lat)
+    for par in (0, 1):
+        ref = st.dslash3_eo(s3, x, par)
+        got = sf.from_fast(sf.dslash3_fast(f3, xf, par), lat)
+        assert float(jnp.sum(jnp.abs(got - ref) ** 2)) == 0.0
+    ref = st.d2ee3(s3, x, 0.2)
+    got = sf.from_fast(sf.d2ee3_fast(f3, xf, 0.2), lat)
+    assert float(jnp.sum(jnp.abs(got - ref) ** 2)) == 0.0
+    ref = st.d2dd3(s3, x, parity=0)
+    got = sf.from_fast(sf.d2dd3_fast(f3, xf, 0), lat)
+    assert float(jnp.sum(jnp.abs(got - ref) ** 2)) == 0.0
