@@ -97,6 +97,20 @@ def make_kernel(X, parity_out, nslots, mode):
                 acc = ([(sign * r, sign * i) for r, i in t] if acc is None
                        else [(ar + sign * r, ai + sign * i)
                              for (ar, ai), (r, i) in zip(acc, t)])
+        elif mode == "matvec":
+            for term in range(8):
+                t = matvec(term % nslots, psi)
+                sign = 1.0 if term < 4 else -1.0
+                acc = ([(sign * r, sign * i) for r, i in t] if acc is None
+                       else [(ar + sign * r, ai + sign * i)
+                             for (ar, ai), (r, i) in zip(acc, t)])
+        elif mode == "shifts":
+            for term in range(8):
+                t = shifted(term)
+                sign = 1.0 if term < 4 else -1.0
+                acc = ([(sign * r, sign * i) for r, i in t] if acc is None
+                       else [(ar + sign * r, ai + sign * i)
+                             for (ar, ai), (r, i) in zip(acc, t)])
         elif mode == "compute":
             for term in range(8):
                 t = matvec(term % nslots, shifted(term))

@@ -201,6 +201,23 @@ def solve_eo(w: WilsonEO, b: jax.Array,
     from ..ops import eo as eomod
     lat = w.lat
     b_e, b_o = eomod.pack(b, lat.nd)
+    if lat.nd == 4:
+        # lane-packed half-spinor operator brackets the Krylov solve
+        from . import stag_fast as sfst
+        from . import wilson_fast as wfst
+        fw = wfst.new_fast_wilson(w)
+        bf_e = sfst.to_fast(b_e, lat)
+        bf_o = sfst.to_fast(b_o, lat)
+        rhs = bf_e + wfst.hop_fast(fw, bf_o, parity_out=0) / w.a
+        rhs_n = wfst.m_ee_dag_fast(fw, rhs)
+        op = lambda v: wfst.m_ee_dag_fast(fw, wfst.m_ee_fast(fw, v))
+        xf_e, stats = cg.cg_solve_restarted(op, rhs_n,
+                                            r2req=params.r2req,
+                                            maxits=params.maxits,
+                                            restarts=params.restarts)
+        xf_o = (bf_o + wfst.hop_fast(fw, xf_e, parity_out=1)) / w.a
+        return eomod.unpack(sfst.from_fast(xf_e, lat),
+                            sfst.from_fast(xf_o, lat), lat.nd), stats
     rhs = b_e + wilson_hop_eo(w, b_o, parity_out=0) / w.a
     rhs_n = wilson_m_ee_dag(w, rhs)
     op = lambda v: wilson_m_ee_dag(w, wilson_m_ee(w, v))

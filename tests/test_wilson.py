@@ -133,3 +133,35 @@ def test_eo_hop_matches_full(lat, setup):
         linalg.norm2(he_ref))
     assert float(linalg.norm2(ho - ho_ref)) < 1e-20 * float(
         linalg.norm2(ho_ref))
+
+
+def test_fast_wilson_matches_canonical():
+    """Lane-packed half-spinor Wilson operator == canonical eo
+    operator to machine precision (projection basis is exact)."""
+    import jax
+    import jax.numpy as jnp
+    from qex_tpu.lattice import Lattice
+    from qex_tpu.ops import group, linalg
+    from qex_tpu.physics import stag_fast as sf
+    from qex_tpu.physics import wilson as wl
+    from qex_tpu.physics import wilson_fast as wf
+
+    DT = jnp.complex128
+    lat = Lattice((8, 4, 4, 8))
+    key = jax.random.PRNGKey(12)
+    u = jnp.stack([linalg.expm(0.4 * group.random_tah(
+        jax.random.fold_in(key, i), lat.dims, lat.nc, DT))
+        for i in range(4)])
+    weo = wl.new_wilson_eo(lat, u, m=0.1, bc="pppa")
+    fw = wf.new_fast_wilson(weo)
+    psi = (jax.random.normal(key, (4, 3, 8, 4, 4, 4))
+           + 1j * jax.random.normal(jax.random.fold_in(key, 1),
+                                    (4, 3, 8, 4, 4, 4))).astype(DT)
+    pf = sf.to_fast(psi, lat)
+    for par in (0, 1):
+        ref = wl.wilson_hop_eo(weo, psi, par)
+        got = sf.from_fast(wf.hop_fast(fw, pf, par), lat)
+        assert float(jnp.max(jnp.abs(got - ref))) < 1e-13
+    ref = wl.wilson_m_ee(weo, psi)
+    got = sf.from_fast(wf.m_ee_fast(fw, pf), lat)
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-13
