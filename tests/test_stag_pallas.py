@@ -66,3 +66,15 @@ def test_pallas_v3_d2ee_matches_fast(setup):
     dev = float(jnp.sum(jnp.abs(got - ref) ** 2)
                 / jnp.sum(jnp.abs(ref) ** 2))
     assert dev < 1e-12
+
+
+def test_pallas_v3_d2dd_matches_fast(setup):
+    """Mass-free multishift base -D_eo D_oe (solve_multi path)."""
+    lat, s, xf = setup
+    ref = sf.d2dd_fast(s, xf, 0)
+    p3 = sp3.new_pallas3(s)
+    got = sp3._join(sp3.d2dd_pallas3(p3, sp3._split(xf), 0,
+                                     interpret=True))
+    dev = float(jnp.sum(jnp.abs(got - ref) ** 2)
+                / jnp.sum(jnp.abs(ref) ** 2))
+    assert dev < 1e-12
