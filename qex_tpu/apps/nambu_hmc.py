@@ -124,11 +124,18 @@ def main(argv=None) -> int:
                 q = loops.topo_charge_clover(lat, smeared(w))
                 return nambu.metadynamics_bias(q, centers, counts,
                                                amp, sdev)
-            sys_m = nambu.NambuSystem(target, guide_m, gens)
+            sys_m = nambu.NambuSystem(
+                target, guide_m, gens,
+                target_force=partial(ga.gauge_force,
+                                     coeffs(gact, beta), lat))
             return nambu.nambu_hmc_step(key, uu, sys_m, tau, steps,
                                         always_accept=warm)
     else:
-        system = nambu.NambuSystem(target, guide, gens)
+        tf = partial(ga.gauge_force, coeffs(gact, beta), lat)
+        gf = (partial(ga.gauge_force, gcoef, lat)
+              if not (use_stout or use_topo) else None)
+        system = nambu.NambuSystem(target, guide, gens,
+                                   target_force=tf, guide_force=gf)
         step = jax.jit(lambda k, uu, warm: nambu.nambu_hmc_step(
             k, uu, system, tau, steps, always_accept=warm))
 

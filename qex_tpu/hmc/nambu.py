@@ -74,10 +74,16 @@ class NambuSystem:
     target_action: Callable
     guide_action: Callable
     gens: jax.Array
+    # optional explicit forces (e.g. gauge.action.gauge_force hand
+    # staples); default AD through the action callables
+    target_force: Callable | None = None
+    guide_force: Callable | None = None
 
     def forces(self, u):
-        ft = force_from_action(self.target_action, u)
-        fg = force_from_action(self.guide_action, u)
+        ft = (self.target_force(u) if self.target_force is not None
+              else force_from_action(self.target_action, u))
+        fg = (self.guide_force(u) if self.guide_force is not None
+              else force_from_action(self.guide_action, u))
         return (project_ta(ft - fg, self.gens),
                 project_ta(fg, self.gens))
 
