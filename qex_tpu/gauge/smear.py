@@ -39,6 +39,19 @@ from ..ops import group, linalg
 from ..ops.shifts import shift
 
 
+def sym_staple_half(side: jax.Array, mid: jax.Array, nu: int, mu: int,
+                    nd: int, half: int) -> jax.Array:
+    """One orientation of :func:`sym_staple` (half=0 fwd, half=1 bwd);
+    sym_staple == sum of the two.  Exists so huge-volume pullbacks can
+    VJP one half-staple per jit program (mcmc/md split pullback)."""
+    s1 = shift(side, mu, +1, nd)
+    if half == 0:
+        s2 = shift(mid, nu, +1, nd)
+        return linalg.mul_na(linalg.mul(side, s2), s1)
+    t = linalg.mul(linalg.mul_an(side, mid), s1)
+    return shift(t, nu, -1, nd)
+
+
 def sym_staple(side: jax.Array, mid: jax.Array, nu: int, mu: int,
                nd: int) -> jax.Array:
     """Symmetric staple of ``mid`` (a direction-mu link field) with side
@@ -129,6 +142,111 @@ def nhyp_stages(c: HypCoefs, lat: Lattice, proj_iters: int = 14):
         return jnp.stack(out)
 
     return s1, s2, s3
+
+
+def nhyp_stages_preproj(c: HypCoefs, lat: Lattice,
+                        proj_iters: int = 14):
+    """The 3 nHYP levels with the U-projection factored OUT:
+    returns ((p1, p2, p3), proj) with
+
+        v = proj*(p3(u, proj*(p2(u, proj*(p1(u))))))
+
+    where ``pk`` produce the stacked PRE-projection matrices and
+    ``proj`` is the (uncheckpointed) differentiable polar projection
+    applied per stacked slice.  Exists so the huge-volume split
+    pullback can put the staple VJP and the Newton-Schulz projection
+    VJP of each chunk in SEPARATE jit programs -- the fused
+    per-direction level-3 pullback piece peaks ~15.9 GB HBM at 24^4,
+    right at the v5e capacity (mcmc/md._smeared_split_jits)."""
+    nd = lat.nd
+    if nd != 4:
+        raise ValueError("nHYP smearing requires nd=4")
+    proj = partial(linalg.project_u, iters=proj_iters)
+
+    def p1(u):
+        out = []
+        for mu, nu in _HYP_PAIRS:
+            out.append((1.0 - c.alpha1) * u[mu]
+                       + 0.5 * c.alpha1
+                       * sym_staple(u[nu], u[mu], nu, mu, nd))
+        return jnp.stack(out)
+
+    def p2(u, l1):
+        out = []
+        for mu, nu in _HYP_PAIRS:
+            comp = [d for d in range(nd) if d not in (mu, nu)]
+            acc = (1.0 - c.alpha2) * u[mu]
+            for a in comp:
+                b = comp[0] if comp[1] == a else comp[1]
+                acc = acc + 0.25 * c.alpha2 * sym_staple(
+                    l1[_HYP_IDX[(a, b)]], l1[_HYP_IDX[(mu, b)]], a, mu,
+                    nd)
+            out.append(acc)
+        return jnp.stack(out)
+
+    def p3(u, l2):
+        out = []
+        for mu in range(nd):
+            acc = (1.0 - c.alpha3) * u[mu]
+            for nu in range(nd):
+                if nu == mu:
+                    continue
+                acc = acc + (c.alpha3 / 6.0) * sym_staple(
+                    l2[_HYP_IDX[(nu, mu)]], l2[_HYP_IDX[(mu, nu)]], nu,
+                    mu, nd)
+            out.append(acc)
+        return jnp.stack(out)
+
+    return (p1, p2, p3), proj
+
+
+def nhyp_stage_terms(c: HypCoefs, lat: Lattice):
+    """Per-(output, addend) functions of the pre-projection stages:
+    ``sum(f(u[, a]) for f in termsK[out]) == pK(u[, a])[out]``.
+    Granularity: base link + each half-staple separately, so the
+    huge-volume split pullback can VJP one addend per jit program
+    (a whole level-2 output's staple VJP peaked 17 GB HBM at 24^4 in
+    loop-linalg mode; einsum mode is 5x worse)."""
+    nd = lat.nd
+
+    def t1(out):
+        mu, nu = _HYP_PAIRS[out]
+        fns = [lambda u, mu=mu: (1.0 - c.alpha1) * u[mu]]
+        for h in (0, 1):
+            fns.append(lambda u, mu=mu, nu=nu, h=h:
+                       0.5 * c.alpha1
+                       * sym_staple_half(u[nu], u[mu], nu, mu, nd, h))
+        return fns
+
+    def t2(out):
+        mu, nu = _HYP_PAIRS[out]
+        comp = [d for d in range(nd) if d not in (mu, nu)]
+        fns = [lambda u, l1, mu=mu: (1.0 - c.alpha2) * u[mu]]
+        for a in comp:
+            b = comp[0] if comp[1] == a else comp[1]
+            for h in (0, 1):
+                fns.append(lambda u, l1, a=a, b=b, mu=mu, h=h:
+                           0.25 * c.alpha2 * sym_staple_half(
+                               l1[_HYP_IDX[(a, b)]],
+                               l1[_HYP_IDX[(mu, b)]], a, mu, nd, h))
+        return fns
+
+    def t3(out):
+        mu = out
+        fns = [lambda u, l2, mu=mu: (1.0 - c.alpha3) * u[mu]]
+        for nu in range(nd):
+            if nu == mu:
+                continue
+            for h in (0, 1):
+                fns.append(lambda u, l2, nu=nu, mu=mu, h=h:
+                           (c.alpha3 / 6.0) * sym_staple_half(
+                               l2[_HYP_IDX[(nu, mu)]],
+                               l2[_HYP_IDX[(mu, nu)]], nu, mu, nd, h))
+        return fns
+
+    return ([t1(o) for o in range(12)],
+            [t2(o) for o in range(12)],
+            [t3(o) for o in range(4)])
 
 
 def nhyp_smear(c: HypCoefs, lat: Lattice, u: jax.Array,

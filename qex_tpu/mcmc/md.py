@@ -288,7 +288,26 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
 
         return smear, add, chains, pullback_kick
 
-    s1, s2, s3 = transform_stages
+    split_proj = (len(transform_stages) in (2, 3)
+                  and isinstance(transform_stages[0], tuple))
+    stage_terms = None
+    if split_proj:
+        # ((p1, p2, p3), proj[, terms]): pre-projection stages + the
+        # polar projection factored out + optional per-addend term
+        # functions (gauge.smear.nhyp_stages_preproj / _stage_terms)
+        if len(transform_stages) == 3:
+            (p1, p2, p3), proj, stage_terms = transform_stages
+        else:
+            (p1, p2, p3), proj = transform_stages
+
+        def _proj_stack(w):
+            return jnp.stack([proj(w[j]) for j in range(w.shape[0])])
+
+        s1 = lambda u: _proj_stack(p1(u))
+        s2 = lambda u, a1: _proj_stack(p2(u, a1))
+        s3 = lambda u, a2: _proj_stack(p3(u, a2))
+    else:
+        s1, s2, s3 = transform_stages
     j1, j2 = jax.jit(s1), jax.jit(s2)
 
     @jax.jit
@@ -298,7 +317,101 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
     # Per-level pullbacks are further chunked over OUTPUT slices: the
     # stage outputs are independent given the inputs, so the total vjp
     # is the sum of per-slice vjps.  One full-level pullback program
-    # peaked 15.9G HBM at 24^4 (186M over a v5e chip); quarters fit.
+    # peaked 15.9G HBM at 24^4 (186M over a v5e chip), and even the
+    # direction-chunked FUSED piece (staple + Newton-Schulz projection
+    # VJP in one program) sits exactly at the 15.75G capacity.  In
+    # split_proj mode each chunk therefore runs as THREE separate jit
+    # programs -- pre-projection forward, projection VJP, staple VJP --
+    # none of which holds both backward chains at once.
+    def _pb_split(pre, nout, nchunks, u_only=False, terms=None):
+        """Pullback of proj(pre(...)) with the three parts in separate
+        jit programs per chunk: pre-projection forward, projection VJP,
+        pre VJP.  With ``terms`` (per-output addend functions summing
+        to pre(...)[out]; chunk size must be 1) the pre VJP is further
+        split per ADDEND -- the VJP of a sum is the sum of the addend
+        VJPs at the same cotangent, and one whole level-2 output's
+        staple VJP alone peaked 17 GB HBM at 24^4."""
+        k = nout // nchunks
+        if terms is not None and k != 1:
+            raise ValueError("per-term pullback requires chunk size 1")
+
+        def piece(c):
+            lo = c * k
+            if u_only:
+                pre_c = jax.jit(lambda u: pre(u)[lo:lo + k])
+            else:
+                pre_c = jax.jit(lambda u, a: pre(u, a)[lo:lo + k])
+
+            @jax.jit
+            def projvjp(w, g_sl):
+                _, vjp = jax.vjp(
+                    lambda ww: jnp.stack([proj(ww[j])
+                                          for j in range(k)]), w)
+                return vjp(g_sl)[0]
+
+            if terms is not None:
+                def term_vjp(f):
+                    if u_only:
+                        @jax.jit
+                        def pv(u, gw1):
+                            _, vjp = jax.vjp(f, u)
+                            return vjp(gw1)[0]
+                    else:
+                        @jax.jit
+                        def pv(u, a, gw1):
+                            _, vjp = jax.vjp(f, u, a)
+                            return vjp(gw1)
+                    return pv
+
+                prevjp = [term_vjp(f) for f in terms[c]]
+            elif u_only:
+                @jax.jit
+                def prevjp(u, gw):
+                    _, vjp = jax.vjp(lambda uu: pre(uu)[lo:lo + k], u)
+                    return vjp(gw)[0]
+            else:
+                @jax.jit
+                def prevjp(u, a, gw):
+                    _, vjp = jax.vjp(
+                        lambda uu, aa: pre(uu, aa)[lo:lo + k], u, a)
+                    return vjp(gw)
+            return pre_c, projvjp, prevjp
+
+        pieces = [piece(c) for c in range(nchunks)]
+
+        if u_only:
+            def run(u, g):
+                gu = None
+                for c, (pre_c, projvjp, prevjp) in enumerate(pieces):
+                    w = pre_c(u)
+                    gw = projvjp(w, g[c * k:(c + 1) * k])
+                    if isinstance(prevjp, list):
+                        for pv in prevjp:
+                            gu_c = pv(u, gw[0])
+                            gu = gu_c if gu is None else add(gu, gu_c)
+                    else:
+                        gu_c = prevjp(u, gw)
+                        gu = gu_c if gu is None else add(gu, gu_c)
+                return gu
+        else:
+            def run(u, a, g):
+                gu = ga = None
+                for c, (pre_c, projvjp, prevjp) in enumerate(pieces):
+                    w = pre_c(u, a)
+                    gw = projvjp(w, g[c * k:(c + 1) * k])
+                    pvs = prevjp if isinstance(prevjp, list) else None
+                    if pvs is not None:
+                        for pv in pvs:
+                            gu_c, ga_c = pv(u, a, gw[0])
+                            gu = gu_c if gu is None else add(gu, gu_c)
+                            ga = ga_c if ga is None else add(ga, ga_c)
+                    else:
+                        gu_c, ga_c = prevjp(u, a, gw)
+                        gu = gu_c if gu is None else add(gu, gu_c)
+                        ga = ga_c if ga is None else add(ga, ga_c)
+                return gu, ga
+        return run
+
     def _pb_chunked(f, nout, nchunks):
         k = nout // nchunks
 
@@ -322,13 +435,27 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
 
         return run
 
-    pb3 = _pb_chunked(s3, 4, 4)
-    pb2 = _pb_chunked(s2, 12, 4)
+    if split_proj:
+        # level-3: one direction per chunk (the fused piece peaked at
+        # the 15.75G capacity; split pieces compile).  Levels 1/2: one
+        # stacked field per chunk -- a 3-field staple-VJP piece still
+        # peaked 20.2G at 24^4.
+        t1s = t2s = t3s = None
+        if stage_terms is not None:
+            t1s, t2s, t3s = stage_terms
+        # level-3: per-direction pieces compile in loop-linalg mode;
+        # levels 1/2 need per-addend VJP programs (see _pb_split)
+        pb3 = _pb_split(p3, 4, 4)
+        pb2 = _pb_split(p2, 12, 12, terms=t2s)
+        pb1 = _pb_split(p1, 12, 12, u_only=True, terms=t1s)
+    else:
+        pb3 = _pb_chunked(s3, 4, 4)
+        pb2 = _pb_chunked(s2, 12, 4)
 
-    @jax.jit
-    def pb1(u, g):
-        _, vjp = jax.vjp(s1, u)
-        return vjp(g)[0]  # gu1
+        @jax.jit
+        def pb1(u, g):
+            _, vjp = jax.vjp(s1, u)
+            return vjp(g)[0]  # gu1
 
     def smear(u):
         return j3(u, j2(u, j1(u)))

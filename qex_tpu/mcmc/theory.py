@@ -23,7 +23,9 @@ import jax.numpy as jnp
 
 from ..gauge.action import (GaugeActionCoeffs, force_from_action,
                             full_action)
-from ..gauge.smear import HypCoefs, nhyp_smear, nhyp_stages
+from ..gauge.smear import (HypCoefs, nhyp_smear, nhyp_stages,
+                           nhyp_stage_terms,
+                           nhyp_stages_preproj)
 from ..hmc import hmc as hmc_mod
 from ..lattice import Lattice
 from ..ops import group
@@ -241,7 +243,9 @@ class LatticeFieldTheory:
         stages = None
         if transform is not None and isinstance(self.smear_coefs,
                                                 HypCoefs):
-            stages = nhyp_stages(self.smear_coefs, lat)
+            pre, proj = nhyp_stages_preproj(self.smear_coefs, lat)
+            stages = (pre, proj,
+                      nhyp_stage_terms(self.smear_coefs, lat))
 
         @jax.jit
         def begin(key, u):

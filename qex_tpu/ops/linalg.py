@@ -15,6 +15,7 @@ No data-dependent control flow: everything is jit/grad/vmap-safe.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import os
 
 import jax
@@ -31,6 +32,26 @@ def adj(m: jax.Array) -> jax.Array:
 _LOOP_N = 5  # explicit expansion threshold (site matrices are tiny)
 
 
+_FORCE_EINSUM = False
+
+
+@_contextlib.contextmanager
+def force_einsum():
+    """Trace-time override: einsum site-linalg inside this block.
+
+    Used by the huge-volume split pullback (mcmc/md): the
+    loop-expanded staple VJP programs keep all ~81 expanded product
+    planes live (a single level-2 staple-chunk VJP peaked 17 GB HBM at
+    24^4), while the einsum form of the same program is compact."""
+    global _FORCE_EINSUM
+    old = _FORCE_EINSUM
+    _FORCE_EINSUM = True
+    try:
+        yield
+    finally:
+        _FORCE_EINSUM = old
+
+
 def _loop(n: int) -> bool:
     """Expand tiny site matmuls into explicit multiply-adds only when
     compiling for TPU: batched 3x3 dot_generals map terribly onto the
@@ -44,6 +65,8 @@ def _loop(n: int) -> bool:
     (e.g. the fused 24^4 multi-field smeared-HMC trajectory) can OOM
     the XLA compiler itself -- einsum trades ~20% step speed for a
     compilable graph there."""
+    if _FORCE_EINSUM:
+        return False
     if os.environ.get("QEX_TPU_LINALG_EINSUM", "0") == "1":
         return False
     return n <= _LOOP_N and jax.default_backend() == "tpu"

@@ -194,3 +194,20 @@ def test_hmc_step_split_matches_fused(lat, u):
     assert abs(float(st1.dH) - float(st2.dH)) < 5e-5 * (
         1.0 + abs(float(st1.dH))), (float(st1.dH), float(st2.dH))
     assert float(linalg.norm2(u1 - u2)) < 1e-8
+
+
+def test_nhyp_preproj_stages_compose(lat, u):
+    """nhyp_stages_preproj composes to exactly nhyp_smear (the
+    split-projection pullback path used by hmc_step_split)."""
+    import jax.numpy as jnp
+    from qex_tpu.gauge.smear import nhyp_smear, nhyp_stages_preproj
+    c = HypCoefs(0.4, 0.5, 0.5)
+    (p1, p2, p3), proj = nhyp_stages_preproj(c, lat)
+
+    def stack_proj(w):
+        return jnp.stack([proj(w[j]) for j in range(w.shape[0])])
+
+    v = stack_proj(p3(u, stack_proj(p2(u, stack_proj(p1(u))))))
+    ref = nhyp_smear(c, lat, u)
+    assert float(linalg.norm2(v - ref)) < 1e-20 * float(
+        linalg.norm2(ref))
