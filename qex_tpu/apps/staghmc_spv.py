@@ -81,6 +81,10 @@ def build_theory(cfg, lat, dtype):
         lat, gauges, fermions, smear=smear, bc=cfg.bc,
         solver_params=SolverParams(
             r2req=cfg.a_tol, maxits=cfg.a_maxits, restarts=3),
+        # MD-force solves at the (usually looser) f_tol/f_maxits
+        # (QEX staghmc_spv_init_and_io.nim:482)
+        force_solver_params=SolverParams(
+            r2req=cfg.f_tol, maxits=cfg.f_maxits, restarts=3),
         tau=cfg.tau)
 
 
@@ -153,10 +157,21 @@ def main(argv=None) -> int:
 
     # gauge start / resume
     start_traj = 0
+    n_acc = 0
     if cfg.start_config > 0:
         fn = os.path.join(cfg.save_path,
                           f"{cfg.save_filename}_{cfg.start_config}")
         u, rng_state, start_traj = ckpt.load_checkpoint(fn, lat, dtype)
+        # full chain state: counter-based RNG means (seed, traj) IS the
+        # RNG state (the analog of QEX's saved RNG field,
+        # staghmc_spv_rng.nim:60-182); acceptance counter restored too
+        n_acc = int(rng_state.get("n_acc", 0))
+        if int(rng_state.get("serial_seed", cfg.serial_seed)) \
+                != cfg.serial_seed:
+            print("# WARNING: checkpoint serial_seed "
+                  f"{rng_state['serial_seed']} != deck {cfg.serial_seed};"
+                  " using checkpoint value for chain continuity")
+            cfg.serial_seed = int(rng_state["serial_seed"])
         print(f"# resumed from {fn} at trajectory {start_traj}")
     elif cfg.start == "cold":
         u = group.unit_gauge(lat, dtype)
@@ -188,7 +203,11 @@ def main(argv=None) -> int:
         step = jax.jit(lambda k, uu, warm: theory.hmc_step(
             k, uu, always_accept=warm))
 
-    n_acc = 0
+    check_jit = jax.jit(theory.solver_report) if cfg.check_solvers \
+        else None
+    rev_jit = jax.jit(theory.reverse_check) if cfg.rev_check_freq \
+        else None
+
     for traj in range(start_traj, start_traj + ntraj):
         t0 = time.time()
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.serial_seed), traj)
@@ -201,6 +220,20 @@ def main(argv=None) -> int:
         print(f"End H: {float(st.h_new):.10g}")
         print(f"{'ACCEPT' if acc else 'REJECT'}: dH {dH:.6g} "
               f"({time.time()-t0:.2f} s){' [warmup]' if warmup else ''}")
+        if check_jit is not None:
+            # per-trajectory solver verification (QEX check_solvers,
+            # staghmc_spv.nim:1066-1090): re-solve each term at a_tol
+            # and report iterations + true residual
+            for name, (its, rel) in check_jit(
+                    jax.random.fold_in(key, 101), u).items():
+                print(f"SOLVER {name}: its {int(its)} "
+                      f"relr2 {float(rel):.4g}")
+        if rev_jit is not None and (traj + 1) % cfg.rev_check_freq == 0:
+            rev = rev_jit(jax.random.fold_in(key, 202), u)
+            print(f"Reversed H: {float(rev['h2']):.10g}")
+            print(f"REVCHECK dHrev {float(rev['dH_rev']):.6g} "
+                  f"udev2 {float(rev['u_dev2']):.6g} "
+                  f"pdev2 {float(rev['p_dev2']):.6g}")
         if cfg.plaq_freq and (traj + 1) % cfg.plaq_freq == 0:
             pl, plr, pli, plq6 = measure(u)
             print(f"MEASplaq {float(pl):.12g}")
@@ -223,7 +256,10 @@ def main(argv=None) -> int:
         if cfg.save_freq and (traj + 1) % cfg.save_freq == 0:
             fn = os.path.join(cfg.save_path,
                               f"{cfg.save_filename}_{traj + 1}")
-            ckpt.save_checkpoint(fn, u, {"serial_seed": cfg.serial_seed},
+            ckpt.save_checkpoint(fn, u,
+                                 {"serial_seed": cfg.serial_seed,
+                                  "parallel_seed": cfg.parallel_seed,
+                                  "n_acc": n_acc},
                                  traj + 1)
             print(f"# saved {fn}")
     done = ntraj - min(cfg.no_metropolis_until - start_traj, ntraj)

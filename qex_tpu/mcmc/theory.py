@@ -77,6 +77,7 @@ class LatticeFieldTheory:
                  bc: str = "pppa",
                  solver_params: SolverParams = SolverParams(
                      r2req=1e-12, maxits=2000, restarts=3),
+                 force_solver_params: SolverParams | None = None,
                  tau: float = 1.0):
         self.lat = lat
         self.gauges = ((gauge,) if isinstance(gauge, GaugeActionSpec)
@@ -85,7 +86,11 @@ class LatticeFieldTheory:
         self.smear_coefs = smear
         self.bc = bc
         self.solver_params = solver_params
+        # separate MD-force solve tolerance (QEX f_tol/f_maxits,
+        # staghmc_spv_init_and_io.nim:482); None = same as action solves
+        self.force_solver_params = force_solver_params
         self.tau = tau
+        self.matter_bases: list[tuple[str, Any]] = []
         self.terms = self._build_terms()
 
     # -- construction ------------------------------------------------------
@@ -126,33 +131,39 @@ class LatticeFieldTheory:
                                     else None))
 
         for i, spec in enumerate(self.fermions):
+            fp = self.force_solver_params
             if spec.kind == "fermion" and spec.hmasses:
                 # Hasenbusch chain: ratio(m, h1), ratio(h1, h2), ...,
                 # plain fermion at the heaviest mass
                 ms = (spec.mass,) + tuple(spec.hmasses)
                 bases = [stag_hmc.StagHasenbusch(
-                    lat, ms[j], ms[j + 1], self.bc, self.solver_params)
+                    lat, ms[j], ms[j + 1], self.bc, self.solver_params,
+                    force_params=fp)
                     for j in range(len(ms) - 1)]
                 bases.append(stag_hmc.StagFermion(
-                    lat, ms[-1], self.bc, self.solver_params))
+                    lat, ms[-1], self.bc, self.solver_params,
+                    force_params=fp))
                 for j, hb in enumerate(bases):
                     self._add_matter_term(
                         terms, hb, f"fermion{i}_h{j}", spec)
                 continue
             if spec.kind == "fermion":
                 base = stag_hmc.StagFermion(lat, spec.mass, self.bc,
-                                            self.solver_params)
+                                            self.solver_params,
+                                            force_params=fp)
             elif spec.kind == "boson":
                 base = stag_hmc.StagBoson(lat, spec.mass, self.bc,
                                           self.solver_params)
             elif spec.kind == "rooted":
                 base = stag_hmc.StagRootedFermion(
                     lat, spec.mass, nf=spec.nf, bc=self.bc,
-                    degree=spec.degree, params=self.solver_params)
+                    degree=spec.degree, params=self.solver_params,
+                    force_params=fp)
             elif spec.kind == "hisq":
                 # HISQ does its own (fat7+naik) smearing internally
                 base = stag_hmc.HisqFermion(lat, spec.mass, bc=self.bc,
-                                            params=self.solver_params)
+                                            params=self.solver_params,
+                                            force_params=fp)
                 spec = dataclasses.replace(spec, smeared=False)
             else:
                 raise ValueError(f"unknown matter kind {spec.kind!r}")
@@ -163,6 +174,7 @@ class LatticeFieldTheory:
     def _add_matter_term(self, terms, base, name, spec):
         s_act = base.make_action_fn()
         smeared = spec.smeared and self.smear_coefs is not None
+        self.matter_bases.append((name, base, smeared))
 
         def f_action(u, phi, s_act=s_act, smeared=smeared):
             v = self._smear(u) if smeared else u
@@ -229,6 +241,53 @@ class LatticeFieldTheory:
         u_out = jnp.where(acc, u1, u)
         return u_out, hmc_mod.HMCState(accepted=acc, dH=dH,
                                        h_old=h_old, h_new=h_new)
+
+    def reverse_check(self, key: jax.Array, u: jax.Array) -> dict:
+        """Reversibility test over the FULL multi-timescale trajectory:
+        integrate, flip momenta, integrate back; report H drift and
+        field deviation.  QEX parity: staghmc_spv rev_check
+        (staghmc_spv.nim:1091,1243-1245; hmc/hmc.nim:8-17).
+
+        jit-safe; uses the same heatbath draw a real trajectory from
+        ``key`` would use.
+        """
+        from ..ops import linalg
+        kp, kf, _ = jax.random.split(key, 3)
+        nd, nc = u.shape[0], u.shape[1]
+        p = jax.vmap(lambda k: group.random_tah(
+            k, u.shape[3:], nc, u.dtype))(jax.random.split(kp, nd))
+        phis = self.heatbath(kf, u)
+        transform = (self._smear
+                     if any(t.smeared for t in self.terms) else None)
+        h0 = self.hamiltonian(u, p, phis)
+        u1, p1 = run_trajectory(self.terms, u, p, phis, self.tau,
+                                hmc_mod.gauge_update_u,
+                                transform=transform)
+        h1 = self.hamiltonian(u1, p1, phis)
+        u2, p2 = run_trajectory(self.terms, u1, -p1, phis, self.tau,
+                                hmc_mod.gauge_update_u,
+                                transform=transform)
+        h2 = self.hamiltonian(u2, p2, phis)
+        return {"h0": h0, "h1": h1, "h2": h2,
+                "dH_fwd": h1 - h0, "dH_rev": h2 - h0,
+                "u_dev2": linalg.norm2(u2 - u) / linalg.norm2(u),
+                "p_dev2": linalg.norm2(p2 + p) / linalg.norm2(p)}
+
+    def solver_report(self, key: jax.Array, u: jax.Array) -> dict:
+        """Per-term solver verification: heatbath a phi, re-solve at the
+        action tolerance, return {term name: (iterations, true relative
+        residual)}.  QEX parity: ``check_solvers`` per-trajectory solver
+        stats (staghmc_spv.nim:1066-1090).  jit-safe (string keys are
+        static pytree structure)."""
+        out = {}
+        keys = jax.random.split(key, max(1, len(self.matter_bases)))
+        for (name, base, smeared), k in zip(self.matter_bases, keys):
+            if not hasattr(base, "check_solve"):
+                continue
+            v = self._smear(u) if smeared else u
+            phi = base.heatbath(k, v)
+            out[name] = base.check_solve(v, phi)
+        return out
 
     def hmc_step_split(self, key: jax.Array, u: jax.Array,
                        always_accept: bool | jax.Array = False):

@@ -3,6 +3,7 @@ rank-grid domain decomposition (SURVEY.md §2.11, §5.8)."""
 
 from .mesh import (LatticeMesh, make_lattice_mesh, field_spec, shard_field,
                    replicated_spec)
+from . import distributed
 
 __all__ = ["LatticeMesh", "make_lattice_mesh", "field_spec", "shard_field",
-           "replicated_spec"]
+           "replicated_spec", "distributed"]

@@ -70,26 +70,36 @@ def gaussian_eta(key: jax.Array, lat: Lattice, dtype) -> jax.Array:
 
 
 def make_quad_inv_action(lat: Lattice, bc: str, m: float,
-                         params: SolverParams) -> Callable:
+                         params: SolverParams,
+                         force_params: SolverParams | None = None
+                         ) -> Callable:
     """Differentiable S(u, phi) = Re[phi^dag A(u,m)^{-1} phi].
 
     custom_vjp: forward runs CG once; backward evaluates
     -x^dag dA x by AD with x held fixed (the implicit-function trick
     replacing staghmc_spv's fforce solve+outer-product).
-    """
 
-    def solve_x(u, phi):
+    ``force_params`` (QEX ``f_tol``/``f_maxits``,
+    staghmc_spv_init_and_io.nim:482): the solve tolerance used on the
+    DIFFERENTIATION path.  The custom_vjp ``fwd`` rule only runs under
+    jax.grad -- i.e. for MD force evaluations -- while plain calls
+    (Hamiltonian values at trajectory endpoints) take the primal path
+    at ``params`` (the ``a_tol`` solves).
+    """
+    fparams = force_params if force_params is not None else params
+
+    def solve_x(u, phi, sp):
         s = st.new_stag_eo(lat, u, bc)
-        x, _ = stag_solve.solve_ee(s, phi, m, params)
+        x, _ = stag_solve.solve_ee(s, phi, m, sp)
         return x
 
     @jax.custom_vjp
     def s_act(u, phi):
-        x = solve_x(u, phi)
+        x = solve_x(u, phi, params)
         return jnp.real(linalg.dot(phi, x))
 
     def fwd(u, phi):
-        x = solve_x(u, phi)
+        x = solve_x(u, phi, fparams)
         return jnp.real(linalg.dot(phi, x)), (u, phi, x)
 
     def bwd(res, g):
@@ -127,17 +137,28 @@ class StagFermion:
     m: float
     bc: str = "pppa"
     params: SolverParams = SolverParams(r2req=1e-12, maxits=2000, restarts=3)
+    force_params: SolverParams | None = None
 
     def heatbath(self, key: jax.Array, u: jax.Array) -> jax.Array:
         xi = gaussian_eta(key, self.lat, u.dtype)
         return _ddag_e(self.lat, self.bc, u, xi, self.m)
 
     def action(self, u: jax.Array, phi: jax.Array) -> jax.Array:
-        return make_quad_inv_action(self.lat, self.bc, self.m,
-                                    self.params)(u, phi)
+        return self.make_action_fn()(u, phi)
 
     def make_action_fn(self) -> Callable:
-        return make_quad_inv_action(self.lat, self.bc, self.m, self.params)
+        return make_quad_inv_action(self.lat, self.bc, self.m,
+                                    self.params, self.force_params)
+
+    def check_solve(self, u: jax.Array, phi: jax.Array):
+        """Re-solve at the action tolerance and report
+        (iterations, true relative residual) -- the QEX ``check_solvers``
+        per-trajectory solver verification (staghmc_spv.nim:1066-1090)."""
+        s = st.new_stag_eo(self.lat, u, self.bc)
+        x, stats = stag_solve.solve_ee(s, phi, self.m, self.params)
+        r = st.d2ee(s, x, self.m) - phi
+        rel = linalg.norm2(r) / linalg.norm2(phi)
+        return stats.iterations, rel
 
 
 @dataclasses.dataclass(frozen=True)
@@ -182,6 +203,7 @@ class HisqFermion:
     bc: str = "pppa"
     proj_iters: int = 14
     params: SolverParams = SolverParams(r2req=1e-12, maxits=2000, restarts=3)
+    force_params: SolverParams | None = None
 
     def _links(self, u):
         from ..gauge.fat7 import hisq_links
@@ -201,8 +223,19 @@ class HisqFermion:
         # phi = (D3^dag xi)_e = m xi_e - D3_eo xi_o : Cov = A3
         return self.m * xi_e - st.dslash3_eo(s3, xi_o, parity_out=0)
 
+    def check_solve(self, u: jax.Array, phi: jax.Array):
+        fl, ll = self._links(u)
+        s3 = st.new_stag3_eo(self.lat, fl, ll)
+        from ..solvers import cg as cgmod
+        op = lambda v: st.d2ee3(s3, v, self.m)
+        x, stats = cgmod.cg_solve_restarted(
+            op, phi, r2req=self.params.r2req,
+            maxits=self.params.maxits, restarts=self.params.restarts)
+        rel = linalg.norm2(op(x) - phi) / linalg.norm2(phi)
+        return stats.iterations, rel
+
     def make_action_fn(self) -> Callable:
-        def solve_x(u, phi):
+        def solve_x(u, phi, sp):
             fl, ll = self._links(u)
             s3 = st.new_stag3_eo(self.lat, fl, ll)
             from ..solvers import cg as cgmod
@@ -213,23 +246,24 @@ class HisqFermion:
                 op = lambda v: sfst.d2ee3_fast(f3, v, self.m)
                 xf, _ = cgmod.cg_solve_restarted(
                     op, sfst.to_fast(phi, self.lat),
-                    r2req=self.params.r2req,
-                    maxits=self.params.maxits,
-                    restarts=self.params.restarts)
+                    r2req=sp.r2req, maxits=sp.maxits,
+                    restarts=sp.restarts)
                 return sfst.from_fast(xf, self.lat)
             op = lambda v: st.d2ee3(s3, v, self.m)
             x, _ = cgmod.cg_solve_restarted(
-                op, phi, r2req=self.params.r2req,
-                maxits=self.params.maxits,
-                restarts=self.params.restarts)
+                op, phi, r2req=sp.r2req, maxits=sp.maxits,
+                restarts=sp.restarts)
             return x
+
+        fparams = (self.force_params if self.force_params is not None
+                   else self.params)
 
         @jax.custom_vjp
         def s_act(u, phi):
-            return jnp.real(linalg.dot(phi, solve_x(u, phi)))
+            return jnp.real(linalg.dot(phi, solve_x(u, phi, self.params)))
 
         def fwd(u, phi):
-            x = solve_x(u, phi)
+            x = solve_x(u, phi, fparams)
             return jnp.real(linalg.dot(phi, x)), (u, phi, x)
 
         def bwd(res, g):
@@ -300,6 +334,7 @@ class StagHasenbusch:
     m2: float           # heavy (Hasenbusch) mass
     bc: str = "pppa"
     params: SolverParams = SolverParams(r2req=1e-12, maxits=2000, restarts=3)
+    force_params: SolverParams | None = None
 
     def heatbath(self, key: jax.Array, u: jax.Array) -> jax.Array:
         xi = gaussian_eta(key, self.lat, u.dtype)
@@ -312,9 +347,16 @@ class StagHasenbusch:
             s, b_e, b_o, self.m2, self.params)
         return phi_e
 
+    def check_solve(self, u: jax.Array, phi: jax.Array):
+        s = st.new_stag_eo(self.lat, u, self.bc)
+        x, stats = stag_solve.solve_ee(s, phi, self.m1, self.params)
+        r = st.d2ee(s, x, self.m1) - phi
+        rel = linalg.norm2(r) / linalg.norm2(phi)
+        return stats.iterations, rel
+
     def make_action_fn(self) -> Callable:
         quad = make_quad_inv_action(self.lat, self.bc, self.m1,
-                                    self.params)
+                                    self.params, self.force_params)
         delta = self.m2 * self.m2 - self.m1 * self.m1
 
         def s_act(u, phi):
@@ -348,6 +390,7 @@ class StagRootedFermion:
     bc: str = "pppa"
     degree: int = 10
     params: SolverParams = SolverParams(r2req=1e-12, maxits=2000, restarts=1)
+    force_params: SolverParams | None = None
 
     def _base_op(self, u):
         """Canonical-layout base op; 4D lattices route each
@@ -389,23 +432,41 @@ class StagRootedFermion:
                           maxits=self.params.maxits)
         return phi
 
-    def _xs(self, u, phi, ra):
+    def _xs(self, u, phi, ra, sp=None):
         from ..solvers import cgm
+        sp = sp if sp is not None else self.params
         base = self._base_op(u)
         mm = self.m * self.m
         xs, stats = cgm.cg_multishift(
             lambda x: base(x) + mm * x, phi, list(ra.poles),
-            r2req=self.params.r2req, maxits=self.params.maxits)
+            r2req=sp.r2req, maxits=sp.maxits)
         return xs
+
+    def check_solve(self, u: jax.Array, phi: jax.Array):
+        from ..solvers import cgm
+        ra = self._approx(-self.nf, 4)
+        base = self._base_op(u)
+        mm = self.m * self.m
+        op = lambda x: base(x) + mm * x
+        xs, stats = cgm.cg_multishift(op, phi, list(ra.poles),
+                                      r2req=self.params.r2req,
+                                      maxits=self.params.maxits)
+        # true residual of the most-singular (smallest) shift
+        i0 = min(range(len(ra.poles)), key=lambda i: ra.poles[i])
+        r = op(xs[i0]) + ra.poles[i0] * xs[i0] - phi
+        rel = linalg.norm2(r) / linalg.norm2(phi)
+        return stats.iterations, rel
 
     def make_action_fn(self) -> Callable:
         """Differentiable S(u, phi) with implicit-function VJP:
         dS/du = -sum_i r_i x_i^dag (dA/du) x_i from ONE multishift
-        solve (replacing QEX's per-pole solve+outer-product force)."""
+        solve (replacing QEX's per-pole solve+outer-product force).
+        Force solves use ``force_params`` (f_tol) -- the fwd rule only
+        runs under differentiation."""
         ra = self._approx(-self.nf, 4)       # A^{-nf/4}
 
-        def value_and_xs(u, phi):
-            xs = self._xs(u, phi, ra)
+        def value_and_xs(u, phi, sp=None):
+            xs = self._xs(u, phi, ra, sp)
             s = ra.c0 * linalg.norm2(phi)
             for r, x in zip(ra.residues, xs):
                 s = s + r * jnp.real(linalg.dot(phi, x))
@@ -417,7 +478,7 @@ class StagRootedFermion:
             return s
 
         def fwd(u, phi):
-            s, xs = value_and_xs(u, phi)
+            s, xs = value_and_xs(u, phi, self.force_params)
             return s, (u, phi, xs)
 
         def bwd(res, g):

@@ -92,7 +92,10 @@ class HMCConfig:
     a_maxits: int = 10000
     f_tol: float = 1e-12
     f_maxits: int = 10000
-    check_solvers: int = 1
+    # re-solve each matter term per trajectory and print SOLVER lines;
+    # costs one extra solve per term (default off -- unlike QEX, whose
+    # check reads stats gathered during the trajectory for free)
+    check_solvers: int = 0
     # <extra>
     plaq_freq: int = 1
     plaq_verbose: bool = True
