@@ -85,57 +85,36 @@ def polyakov_loop(lat: Lattice, u: jax.Array, mu: int | None = None) -> jax.Arra
     return jnp.sum(tr) / (nc * lat.volume)
 
 
-def wilson_line(lat: Lattice, u: jax.Array, path: list[int]) -> jax.Array:
+def wilson_line(lat: Lattice, u: jax.Array, path: list[int],
+                engine=None) -> jax.Array:
     """Average retr of the Wilson line along ``path``.
 
     ``path`` entries are +-(mu+1): +1 means one hop in +x, -3 one hop in
-    -z, etc. (QEX ``wline`` convention, gaugeUtils.nim:1103).
+    -z, etc. (QEX ``wline`` convention, gaugeUtils.nim:1103).  Built on
+    the memoizing path engine (gauge.wline.PathEngine, the analog of
+    QEX's path-tree optimizer gaugeUtils.nim:405-1100); pass a shared
+    ``engine`` to reuse sub-segments across many lines.
     """
-    nd, nc = lat.nd, lat.nc
-    m = None
-    # accumulate left-to-right: W(x) = U_{p1}(x) U_{p2}(x+p1) ...
-    # implement by transporting from the end backwards
-    for step in reversed(path):
-        mu = abs(step) - 1
-        if m is None:
-            n = lat.nc
-            ident = jnp.eye(n, dtype=u.dtype).reshape((n, n) + (1,) * nd)
-            m = jnp.broadcast_to(ident, (n, n) + lat.dims)
-        if step > 0:
-            m = linalg.mul(u[mu], shift(m, mu, +1, nd))
-        else:
-            m = shift(linalg.mul_an(u[mu], m), mu, -1, nd)
-    return jnp.sum(linalg.re_trace(m)) / (nc * lat.volume)
+    from .wline import PathEngine
+    eng = engine if engine is not None else PathEngine(lat, u)
+    return eng.loop_trace(path)
 
 
-def clover_fmunu(u: jax.Array, mu: int, nu: int, nd: int) -> jax.Array:
+def clover_fmunu(u: jax.Array, mu: int, nu: int, nd: int,
+                 engine=None) -> jax.Array:
     """Clover-improved field strength F_{mu nu} (anti-hermitian traceless).
 
     Average of the four plaquette leaves around x, anti-hermitized.
-    QEX parity: Fmunu builders (gaugeUtils.nim:1119-1236).
+    QEX parity: Fmunu builders (gaugeUtils.nim:1119-1236).  The leaves
+    come from the shared path engine, so Fmunu for all 6 planes reuses
+    every single-link segment (and topo_charge/energy_density share one
+    engine across planes).
     """
-    umu, unu = u[mu], u[nu]
-    # leaf 1: x -> +mu -> +nu -> -mu -> -nu
-    l1 = plaq_field(u, mu, nu, nd)
-    # leaf 2: x -> +nu -> -mu -> -nu -> +mu :
-    #   U_nu(x) U_mu(x-mu+nu)^dag U_nu(x-mu)^dag U_mu(x-mu)
-    a = linalg.mul_na(unu, shift(shift(umu, mu, -1, nd), nu, +1, nd))
-    b = linalg.mul_an(shift(unu, mu, -1, nd), shift(umu, mu, -1, nd))
-    l2 = linalg.mul(a, b)
-    # leaf 3: x -> -mu -> -nu -> +mu -> +nu:
-    #   U_mu(x-mu)^dag U_nu(x-mu-nu)^dag U_mu(x-mu-nu) U_nu(x-nu)
-    umm = shift(umu, mu, -1, nd)
-    unmm = shift(shift(unu, mu, -1, nd), nu, -1, nd)
-    ummn = shift(shift(umu, mu, -1, nd), nu, -1, nd)
-    unm = shift(unu, nu, -1, nd)
-    l3 = linalg.mul(linalg.mul_aa(umm, unmm), linalg.mul(ummn, unm))
-    # leaf 4: x -> -nu -> +mu -> +nu -> -mu:
-    #   U_nu(x-nu)^dag U_mu(x-nu) U_nu(x+mu-nu) U_mu(x)^dag
-    l4 = linalg.mul(
-        linalg.mul_an(unm, shift(umu, nu, -1, nd)),
-        linalg.mul_na(shift(shift(unu, nu, -1, nd), mu, +1, nd), umu),
-    )
-    c = 0.25 * (l1 + l2 + l3 + l4)
+    from ..lattice import Lattice
+    from .wline import PathEngine
+    if engine is None:
+        engine = PathEngine(Lattice(u.shape[-nd:], nc=u.shape[1]), u)
+    c = 0.25 * engine.clover_leaves(mu, nu)
     # anti-hermitian traceless part: F = (c - c^dag)/2 - trace part
     f = 0.5 * (c - linalg.adj(c))
     tr = linalg.trace(f) / f.shape[0]
@@ -147,11 +126,13 @@ def energy_density_clover(lat: Lattice, u: jax.Array) -> jax.Array:
 
     Used for gradient-flow t^2 E (QEX densityE, gaugeUtils.nim:1238).
     """
+    from .wline import PathEngine
     nd = lat.nd
+    eng = PathEngine(lat, u)
     total = 0.0
     for mu in range(nd):
         for nu in range(mu + 1, nd):
-            f = clover_fmunu(u, mu, nu, nd)
+            f = clover_fmunu(u, mu, nu, nd, engine=eng)
             total = total + linalg.norm2(f)  # -tr F^2 = |F|^2 per plane
     return total / lat.volume
 
@@ -172,13 +153,15 @@ def topo_charge_clover(lat: Lattice, u: jax.Array) -> jax.Array:
     Q = 1/(32 pi^2) sum_x eps_{mu nu rho sigma} tr F_{mu nu} F_{rho sigma}
     QEX parity: topoQ (gaugeUtils.nim:1257).  4D only.
     """
+    from .wline import PathEngine
     nd = lat.nd
     if nd != 4:
         raise ValueError("topological charge requires nd=4")
+    eng = PathEngine(lat, u)
     fs = {}
     for mu in range(nd):
         for nu in range(mu + 1, nd):
-            fs[(mu, nu)] = clover_fmunu(u, mu, nu, nd)
+            fs[(mu, nu)] = clover_fmunu(u, mu, nu, nd, engine=eng)
     # eps pairs: (01)(23), (02)(31)=-(02)(13), (03)(12)
     q = (
         jnp.sum(linalg.re_trace(linalg.mul(fs[(0, 1)], fs[(2, 3)])))
