@@ -26,6 +26,7 @@ palindromic schemes exactly like MDevolve's shared-update optimization.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Callable, Sequence
 
 import jax
@@ -134,6 +135,29 @@ def _yoshida6() -> Integrator:
     return _compose(_yoshida4(), w, "YOSHIDA6")
 
 
+def _s7odr6() -> Integrator:
+    """Yoshida 6th-order 7-stage composition, solution A (Yoshida,
+    Phys. Lett. A 150 (1990) 262): S2(w3 h) S2(w2 h) S2(w1 h) S2(w0 h)
+    and back, w0 = 1 - 2(w1+w2+w3).  7 T-stages / 8 force evals per
+    step -- the classic 's7odr6' velocity scheme."""
+    w1 = -1.17767998417887
+    w2 = 0.235573213359357
+    w3 = 0.784513610477560
+    w0 = 1.0 - 2.0 * (w1 + w2 + w3)
+    seq = []
+    for w in (w3, w2, w1, w0, w1, w2, w3):
+        seq += _scale_steps(_lf().steps, w)
+    return Integrator("S7ODR6", _merge_adjacent(seq))
+
+
+def _fgi6() -> Integrator:
+    """6th-order force-gradient scheme: triple-jump composition of the
+    4th-order Chin FGI (symmetric, so the Yoshida w = 1/(2-2^(1/5))
+    composition raises the order to 6); 9 forces + 3 gradient kicks."""
+    w = 1.0 / (2.0 - 2.0 ** (1.0 / 5.0))
+    return _compose(_fgi(), w, "FGI6")
+
+
 _REGISTRY: dict[str, Callable[..., Integrator]] = {
     "LF": _lf,
     "LEAPFROG": _lf,
@@ -146,37 +170,84 @@ _REGISTRY: dict[str, Callable[..., Integrator]] = {
     "4MN3F1GP": _4mn3f1gp,
     "YOSHIDA4": _yoshida4,
     "YOSHIDA6": _yoshida6,
-    # --- MDevolve-only names (integrator.nim:32-60 factory accepts them;
-    # the coefficient tables live in the external MDevolve Nim package,
-    # not in the reference tree).  Accepted here as aliases to verified
-    # schemes of the same order and force/gradient character so that any
-    # reference input deck runs; each alias is a genuinely symplectic,
-    # order-verified integrator (see tests/test_stag_hmc.py scaling
-    # tests), just not the exact MDevolve coefficient set.
-    "6MN7FV": _yoshida6,     # 6th order
-    "4MN4F2GVG": _fgi,       # 4th order, force-gradient
-    "4MN4F2GV": _fgi,        # 4th order, force-gradient velocity
-    "4MN5F1GV": _fgi,        # 4th order, force-gradient velocity
-    "4MN5F1GP": _4mn3f1gp,   # 4th order, force-gradient position
-    "4MN5F2GV": _fgi,        # 4th order, force-gradient velocity
-    "4MN5F2GP": _4mn3f1gp,   # 4th order, force-gradient position
-    "6MN5F3GP": _yoshida6,   # 6th order
+    "S7ODR6": _s7odr6,
+    "FGI6": _fgi6,
 }
 
-INTEGRATORS = tuple(_REGISTRY)
+# MDevolve-only names (integrator.nim:32-60 factory accepts them; the
+# coefficient tables live in the external MDevolve Nim package, not in
+# the reference tree, and are not available here).  Each maps to a
+# published scheme of the SAME order and force/gradient character --
+# genuinely symplectic and order-verified (tests/test_stag_hmc.py) --
+# but NOT the exact MDevolve minimum-norm coefficient set, so
+# ``get_integrator`` warns loudly whenever one is requested.
+_ALIASES: dict[str, tuple[str, Callable[..., Integrator]]] = {
+    "6MN7FV": ("S7ODR6 (Yoshida 6th order, 7-stage velocity)", _s7odr6),
+    "4MN4F2GVG": ("FGI (Chin 4th-order force-gradient)", _fgi),
+    "4MN4F2GV": ("FGI (Chin 4th-order force-gradient)", _fgi),
+    "4MN5F1GV": ("FGI (Chin 4th-order force-gradient)", _fgi),
+    "4MN5F1GP": ("4MN3F1GP (Omelyan 4th-order FG position)", _4mn3f1gp),
+    "4MN5F2GV": ("FGI (Chin 4th-order force-gradient)", _fgi),
+    "4MN5F2GP": ("4MN3F1GP (Omelyan 4th-order FG position)", _4mn3f1gp),
+    "6MN5F3GP": ("FGI6 (triple-jump Chin, 6th order w/ gradients)",
+                 _fgi6),
+}
+
+INTEGRATORS = tuple(_REGISTRY) + tuple(_ALIASES)
 
 
 def get_integrator(name: str) -> Integrator:
     """String -> integrator, with QEX's comma-parameter syntax:
     e.g. '2MN,0.20' or '4MN5FV,0.25,-0.03,0.08,0.68'
-    (integrator.nim factory parity)."""
+    (integrator.nim factory parity).  MDevolve-only names resolve to
+    same-order published substitutes WITH a loud warning."""
     parts = str(name).split(",")
     key = parts[0].upper()
+    args = [float(x) for x in parts[1:]]
+    if key in _ALIASES:
+        subst, fn = _ALIASES[key]
+        warnings.warn(
+            f"integrator {key!r} is an MDevolve scheme whose exact "
+            f"coefficient table is not available; substituting {subst}. "
+            "Results are a valid same-order symplectic integrator but "
+            "NOT coefficient-identical to MDevolve's.",
+            stacklevel=2)
+        return fn(*args)
     if key not in _REGISTRY:
         raise ValueError(
-            f"unknown integrator {name!r}; have {sorted(_REGISTRY)}")
-    args = [float(x) for x in parts[1:]]
+            f"unknown integrator {name!r}; have "
+            f"{sorted(_REGISTRY) + sorted(_ALIASES)}")
     return _REGISTRY[key](*args)
+
+
+def fg_force(u: jax.Array, a,
+             force_fn: Callable[[jax.Array], jax.Array],
+             update_u: Callable[[jax.Array, jax.Array, float], jax.Array],
+             ) -> jax.Array:
+    """Effective force of a force-gradient kick: p <- p - cdt * F_eff
+    with F_eff = F(U) - a * dF[F U] and a = 2 xi dt^2 / c (the caller
+    computes ``a``; the kick's gradient term is then
+    +xi dt^3 * grad|F|^2, verified = 2 dF[F U] to machine precision).
+
+    Exact second-derivative form (QEX ``gaugeDerivDeriv2``,
+    src/gauge/gaugeAction.nim:445): the jvp of the force along the
+    force flow d/de F(exp(e F) U)|_0 -- the analytic limit of the
+    shifted-force trick, and an exactly symplectic kick (gradient of
+    S - (a/2)|F|^2 since the force Hessian is self-adjoint).
+
+    Forward-mode cannot pass through custom_vjp solves (fermion CG
+    forces), so those fall back to the Yin-Mawhinney shifted-force
+    approximation (arXiv:1111.5059) at trace time.
+    """
+    f1 = force_fn(u)
+    try:
+        from ..ops import linalg as la
+        tangent = jax.vmap(la.mul)(f1, u)     # dU of U <- exp(e F) U
+        _, df = jax.jvp(force_fn, (u,), (tangent,))
+        return f1 - a * df
+    except Exception:
+        # custom_vjp force (or other jvp-unsupported op): shifted force
+        return force_fn(update_u(u, f1, -a))
 
 
 def _merge(steps: Sequence) -> tuple[list, list, list]:
@@ -219,10 +290,8 @@ def integrate(scheme: Integrator, u0: jax.Array, p0: jax.Array,
             c, xi = st[1], st[2]
             if c != 0.0:
                 if xi != 0.0:
-                    f1 = force_fn(u)
-                    a = 2.0 * xi * dt * dt / c
-                    ushift = update_u(u, f1, -a)
-                    p = p - (c * dt) * force_fn(ushift)
+                    p = p - (c * dt) * fg_force(
+                        u, 2.0 * xi * dt * dt / c, force_fn, update_u)
                 else:
                     p = p - (c * dt) * force_fn(u)
         else:  # pragma: no cover

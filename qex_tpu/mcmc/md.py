@@ -70,9 +70,10 @@ _EPS = 1e-9
 def build_schedule(terms: Sequence[ActionTerm], tau: float):
     """Flatten all terms' integrator patterns into one sorted event list.
 
-    Returns [(dt_advance, [(term_idx, coeff_dt, xi_dt2), ...]), ...]:
-    advance U by dt, then apply the kicks (xi_dt2 nonzero only for
-    force-gradient kicks).  Sum of advances == tau.
+    Returns [(dt_advance, [(term_idx, coeff_dt, fg_a), ...]), ...]:
+    advance U by dt, then apply the kicks.  ``fg_a`` (nonzero only for
+    force-gradient kicks) is the force-shift magnitude a = 2 xi dt^2/c
+    of hmc.integrators.fg_force.  Sum of advances == tau.
     """
     events: list[tuple[float, int, float, float]] = []
     for i, term in enumerate(terms):
@@ -89,7 +90,8 @@ def build_schedule(terms: Sequence[ActionTerm], tau: float):
                 elif st[0] == "FG":
                     c, xi = st[1], st[2]
                     if c != 0.0:
-                        events.append((t, i, c * dt, xi * dt * dt))
+                        events.append((t, i, c * dt,
+                                       2.0 * xi * dt * dt / c))
                 else:  # pragma: no cover
                     raise ValueError(f"bad step kind {st[0]}")
         if abs(t - tau) > 1e-6 * max(1.0, abs(tau)):
@@ -104,14 +106,14 @@ def build_schedule(terms: Sequence[ActionTerm], tau: float):
         t_ev = events[k][0]
         group = []
         while k < len(events) and events[k][0] <= t_ev + _EPS:
-            _, i, cdt, xidt2 = events[k]
+            _, i, cdt, fg_a = events[k]
             # coalesce same-term kicks at the same time
             for j, (gi, gc, gx) in enumerate(group):
-                if gi == i and gx == 0.0 and xidt2 == 0.0:
+                if gi == i and gx == 0.0 and fg_a == 0.0:
                     group[j] = (gi, gc + cdt, 0.0)
                     break
             else:
-                group.append((i, cdt, xidt2))
+                group.append((i, cdt, fg_a))
             k += 1
         schedule.append((t_ev - t_cur, group))
         t_cur = t_ev
@@ -149,15 +151,15 @@ def _apply_schedule(schedule, terms, u, p, phis, update_u,
         if shared:
             p = _shared_smeared_kick(transform, terms, shared, u, p,
                                      phis)
-        for (i, cdt, xidt2) in rest:
+        for (i, cdt, fg_a) in rest:
             term = terms[i]
-            if xidt2 == 0.0:
+            if fg_a == 0.0:
                 p = p - cdt * term.force(u, phis[i])
             else:
-                f1 = term.force(u, phis[i])
-                a = 2.0 * xidt2 / cdt
-                ushift = update_u(u, f1, -a)
-                p = p - cdt * term.force(ushift, phis[i])
+                from ..hmc.integrators import fg_force
+                p = p - cdt * fg_force(
+                    u, fg_a, lambda uu: term.force(uu, phis[i]),
+                    update_u)
     return u, p
 
 
@@ -229,7 +231,7 @@ def _kick_jit(terms, sig, update_u, transform):
                     and terms[i].chain_force is not None and not fg)]
 
     @jax.jit
-    def kick(u, p, phis, cdts, xidt2s):
+    def kick(u, p, phis, cdts, fg_as):
         for j, (i, fg) in enumerate(sig):
             if (i, fg) not in rest:
                 continue
@@ -237,10 +239,10 @@ def _kick_jit(terms, sig, update_u, transform):
             if not fg:
                 p = p - cdts[j] * term.force(u, phis[i])
             else:
-                f1 = term.force(u, phis[i])
-                a = 2.0 * xidt2s[j] / cdts[j]
-                ushift = update_u(u, f1, -a)
-                p = p - cdts[j] * term.force(ushift, phis[i])
+                from ..hmc.integrators import fg_force
+                p = p - cdts[j] * fg_force(
+                    u, fg_as[j],
+                    lambda uu: term.force(uu, phis[i]), update_u)
         return p
 
     return (kick if rest else None)

@@ -216,8 +216,48 @@ def test_yoshida_order_scaling(lat, u):
     assert abs(d16) < abs(d8) / 8.0, (d8, d16)  # ~16x for dt^4
     y6 = integrators.get_integrator("YOSHIDA6")
     assert abs(dh(y6, 16)) < abs(d16)
-    # 6MN7FV alias resolves to a 6th-order scheme
-    assert integrators.get_integrator("6MN7FV").name == "YOSHIDA6"
+    # 6MN7FV alias resolves (with a warning) to a 6th-order scheme
+    with pytest.warns(UserWarning, match="MDevolve"):
+        assert integrators.get_integrator("6MN7FV").name == "S7ODR6"
+    # the 7-stage Yoshida-A scheme is genuinely high order: halving dt
+    # cuts |dH| far faster than 4th order would
+    s7 = integrators.get_integrator("S7ODR6")
+    d8s, d16s = dh(s7, 8), dh(s7, 16)
+    assert abs(d16s) < abs(d8s) / 20.0, (d8s, d16s)
+
+
+def test_fg_exact_kick_order_and_consistency(lat, u):
+    """FGI with the exact jvp force-gradient kick: 4th-order dH
+    scaling, and agreement with the shifted-force approximation to
+    higher order in dt (they share the dt^3 term by construction)."""
+    from functools import partial
+    from qex_tpu.hmc.integrators import fg_force
+    c = ga.wilson(5.0)
+    act = partial(ga.full_action, c, lat)
+    frc = partial(ga.gauge_force, c, lat)
+    p = rand_tah_gauge(jax.random.PRNGKey(99), lat)
+    h0 = float(hmc.kinetic_energy(p) + act(u))
+
+    def dh(scheme, nsteps):
+        u1, p1 = integrators.integrate(scheme, u, p, 1.0, nsteps, frc,
+                                       hmc.gauge_update_u)
+        return float(hmc.kinetic_energy(p1) + act(u1)) - h0
+
+    fgi = integrators.get_integrator("FGI")
+    d4, d8 = dh(fgi, 4), dh(fgi, 8)
+    assert abs(d8) < abs(d4) / 8.0, (d4, d8)   # ~16x for dt^4
+
+    # exact jvp kick vs shifted-force kick: identical dt^3 content
+    a = 0.02
+    exact = fg_force(u, a, frc, hmc.gauge_update_u)
+    f1 = frc(u)
+    shifted = frc(hmc.gauge_update_u(u, f1, -a))
+    base = frc(u)
+    # both differ from the plain force at O(a), but from each other
+    # only at O(a^2)
+    d_exact = float(linalg.norm2(exact - base))
+    d_cross = float(linalg.norm2(exact - shifted))
+    assert d_cross < 0.05 * d_exact, (d_cross, d_exact)
 
 
 @pytest.mark.parametrize("coeffs", [
