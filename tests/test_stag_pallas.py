@@ -78,3 +78,61 @@ def test_pallas_v3_d2dd_matches_fast(setup):
     dev = float(jnp.sum(jnp.abs(got - ref) ** 2)
                 / jnp.sum(jnp.abs(ref) ** 2))
     assert dev < 1e-12
+
+
+# --- fat+naik (HISQ) 16-term kernel ----------------------------------------
+
+@pytest.fixture(scope="module")
+def setup3():
+    from qex_tpu.gauge import fat7
+    from qex_tpu.physics import stag_pallas_hisq as sph
+    lat = Lattice((8, 4, 4, 8))
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 5)
+    u = jnp.stack([
+        linalg.expm(0.7 * group.random_tah(ks[i], lat.dims, lat.nc,
+                                           jnp.complex64))
+        for i in range(4)])
+    g = st.phase_links(lat, u)
+    fl, ll = fat7.hisq_links(lat, g, proj_iters=10)
+    f3 = sf.new_fast3(st.new_stag3_eo(lat, fl, ll))
+    x = jax.random.normal(ks[4], (3, 8, 4, 4, 4),
+                          jnp.float32).astype(jnp.complex64)
+    return lat, f3, sph.new_pallas_hisq(f3), sf.to_fast(x, lat)
+
+
+@pytest.mark.parametrize("parity", [0, 1])
+def test_pallas_hisq_matches_fast3(setup3, parity):
+    from qex_tpu.physics import stag_pallas_hisq as sph
+    lat, f3, p3, xf = setup3
+    ref = sf.dslash3_fast(f3, xf, parity)
+    got = sph.dslash_pallas_hisq_c(p3, xf, parity, interpret=True)
+    dev = float(jnp.sum(jnp.abs(got - ref) ** 2)
+                / jnp.sum(jnp.abs(ref) ** 2))
+    assert dev < 1e-12
+
+
+def test_pallas_hisq_zblocked_and_d2(setup3):
+    """Split z grid (nzb=2 -> full-Z fallback; nzb exact divisor) and
+    the d2ee/d2dd wrappers used by the HISQ action/multishift."""
+    from qex_tpu.physics import stag_pallas_hisq as sph
+    lat, f3, p3, xf = setup3
+    xs = sph._split(xf)
+    ref = sf.dslash3_fast(f3, xf, 0)
+    for nzb in (2, 4):  # 2 -> _pick_nzb falls back to full Z
+        got = sph._join(sph.dslash_pallas_hisq(p3, xs, 0, nzb=nzb,
+                                               interpret=True))
+        dev = float(jnp.sum(jnp.abs(got - ref) ** 2)
+                    / jnp.sum(jnp.abs(ref) ** 2))
+        assert dev < 1e-12, nzb
+    m = 0.2
+    refee = sf.d2ee3_fast(f3, xf, m)
+    gotee = sph._join(sph.d2ee_pallas_hisq(p3, xs, m, interpret=True))
+    dev = float(jnp.sum(jnp.abs(gotee - refee) ** 2)
+                / jnp.sum(jnp.abs(refee) ** 2))
+    assert dev < 1e-12
+    refdd = sf.d2dd3_fast(f3, xf, 0)
+    gotdd = sph._join(sph.d2dd_pallas_hisq(p3, xs, 0, interpret=True))
+    dev = float(jnp.sum(jnp.abs(gotdd - refdd) ** 2)
+                / jnp.sum(jnp.abs(refdd) ** 2))
+    assert dev < 1e-12
