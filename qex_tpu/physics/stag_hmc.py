@@ -185,6 +185,28 @@ class StagBoson:
         return make_quad_action(self.lat, self.bc, self.m)
 
 
+def _fast3_ops(f3):
+    """Best fat+naik operator callables for a FastStag3EO: the fused
+    16-term Pallas HISQ stencil (stag_pallas_hisq) on TPU when the
+    geometry fits, else the XLA fast layout.  Returns
+    ``(d2ee3(v, m), d2dd3(v))`` on fast-layout complex vectors.
+    Solves sit inside custom_vjp fwd/bwd, so AD never traces through
+    the kernel."""
+    from . import stag_fast as sfst
+    from .stag_solve import _use_pallas
+    if _use_pallas(f3.lat):
+        from . import stag_pallas_hisq as sph
+        if sph.fits(f3.lat):
+            p3 = sph.new_pallas_hisq(f3)
+            ee = lambda v, m: sph._join(
+                sph.d2ee_pallas_hisq(p3, sph._split(v), m))
+            dd = lambda v: sph._join(
+                sph.d2dd_pallas_hisq(p3, sph._split(v), 0))
+            return ee, dd
+    return (lambda v, m: sfst.d2ee3_fast(f3, v, m),
+            lambda v: sfst.d2dd3_fast(f3, v, parity=0))
+
+
 @dataclasses.dataclass(frozen=True)
 class HisqFermion:
     """HISQ pseudofermion: S = phi^dag A3(m)^{-1} phi with the fat+naik
@@ -243,7 +265,8 @@ class HisqFermion:
                 # lane-packed fast layout brackets the Krylov solve
                 from . import stag_fast as sfst
                 f3 = sfst.new_fast3(s3)
-                op = lambda v: sfst.d2ee3_fast(f3, v, self.m)
+                ee, _ = _fast3_ops(f3)
+                op = lambda v: ee(v, self.m)
                 xf, _ = cgmod.cg_solve_restarted(
                     op, sfst.to_fast(phi, self.lat),
                     r2req=sp.r2req, maxits=sp.maxits,
@@ -292,7 +315,7 @@ class HisqFermion:
         if self.lat.nd == 4:
             from . import stag_fast as sfst
             f3 = sfst.new_fast3(s3)
-            base = lambda x: sfst.d2dd3_fast(f3, x, parity=0)
+            _, base = _fast3_ops(f3)
             xs, stats = cgm.cg_multishift(base,
                                           sfst.to_fast(b_e, self.lat),
                                           shifts,
@@ -391,6 +414,10 @@ class StagRootedFermion:
     degree: int = 10
     params: SolverParams = SolverParams(r2req=1e-12, maxits=2000, restarts=1)
     force_params: SolverParams | None = None
+    # measured (lo, hi) bracket of A(m); None = safe analytic bound.
+    # Produce with calibrate_spectral_range(u) at setup (QEX hisqev
+    # bounds feeding the Remez interval).
+    spectral_bounds: tuple | None = None
 
     def _base_op(self, u):
         """Canonical-layout base op; 4D lattices route each
@@ -406,12 +433,30 @@ class StagRootedFermion:
         return lambda x: st.d2dd(s, x, parity=0)
 
     def _spectral_range(self) -> tuple[float, float]:
+        if self.spectral_bounds is not None:
+            return tuple(self.spectral_bounds)
         # A = m^2 - D_eo D_oe with |eig(Dslash)| <= nd/... staggered
         # Dslash (with the 1/2) has |lambda| <= nd/2 * 2 = nd... use the
         # safe bound |lambda|^2 <= nd^2.
         lo = self.m * self.m
         hi = lo + float(self.lat.nd ** 2)
         return lo, hi
+
+    def calibrate_spectral_range(self, u: jax.Array,
+                                 safety: float = 1.2
+                                 ) -> "StagRootedFermion":
+        """Return a copy with the rational-approximation interval
+        tightened to the MEASURED spectrum of A(m) on ``u`` (Lanczos
+        bracket, qex_tpu.eigens.hisqev.spectral_range_stag), padded by
+        ``safety`` at the top.  Tighter intervals need lower rational
+        degree for the same accuracy (QEX parity: hisqev-style bounds
+        selecting the Remez table in mcmc/utilities/rational.nim)."""
+        from ..eigens.hisqev import spectral_range_stag
+        lo, hi = spectral_range_stag(self.lat, u, self.m, bc=self.bc)
+        mm = self.m * self.m
+        lo = max(mm * 0.5, lo / safety)
+        return dataclasses.replace(self,
+                                   spectral_bounds=(lo, hi * safety))
 
     def _approx(self, num: int, den: int):
         from ..solvers.rational import rational_approx

@@ -84,3 +84,106 @@ def test_lanczos_tridiagonal_spectrum():
     ritz = np.linalg.eigvalsh(t)
     assert abs(ritz[0] - 1.0) < 1e-4
     assert abs(ritz[-1] - 10.0) < 1e-4
+
+
+# --- Chebyshev-filtered tier (VERDICT.md item 6) ----------------------------
+
+def _dense_stag(lat, u, bc="pppp"):
+    s = st.new_stag_eo(lat, u, bc=bc)
+    shp = (lat.nc,) + lat.dims[:-1] + (lat.dims[-1] // 2,)
+    ne = int(np.prod(shp))
+    a_op = lambda v: st.d2dd(s, v, parity=0)
+    cols = []
+    for j in range(ne):
+        e = jnp.zeros((ne,), DT).at[j].set(1.0).reshape(shp)
+        cols.append(np.asarray(a_op(e)).reshape(ne))
+    return s, a_op, np.stack(cols, axis=1), shp
+
+
+def test_spectral_range_brackets_dense():
+    from qex_tpu.eigens import estimate_spectral_range
+    lat = Lattice((2, 2, 2, 4))
+    key = jax.random.PRNGKey(21)
+    u = jnp.stack([group.random_su(jax.random.fold_in(key, i), lat.dims,
+                                   lat.nc, DT) for i in range(lat.nd)])
+    _s, a_op, amat, shp = _dense_stag(lat, u)
+    ref = np.linalg.eigvalsh(amat)
+    lo, hi = estimate_spectral_range(a_op, jnp.zeros(shp, DT), m=40)
+    assert lo <= ref[0] + 1e-8 and hi >= ref[-1] - 1e-8, (lo, hi,
+                                                         ref[0], ref[-1])
+    # bracket is tight-ish, not the loose nd^2 analytic bound
+    assert hi < 1.5 * ref[-1] + 1e-6
+
+
+def test_filtered_eigs_match_dense_1e10():
+    """Chebyshev-filtered driver matches dense diagonalization at
+    1e-10 on 2^3x4 (the VERDICT item-6 'done' bar), using FEWER
+    Lanczos cycles than the unfiltered driver."""
+    from qex_tpu.eigens import eigs_filtered
+    lat = Lattice((2, 2, 2, 4))
+    key = jax.random.PRNGKey(13)
+    u = jnp.stack([group.random_su(jax.random.fold_in(key, i), lat.dims,
+                                   lat.nc, DT) for i in range(lat.nd)])
+    _s, a_op, amat, shp = _dense_stag(lat, u)
+    ref = np.linalg.eigvalsh(amat)
+    evals, vecs, info = eigs_filtered(a_op, jnp.zeros(shp, DT), 4,
+                                      degree=24, tol=1e-12, m=30)
+    assert np.abs(evals - ref[:4]).max() < 1e-10 * max(ref.max(), 1.0), (
+        evals, ref[:6])
+    scale = max(abs(ref[0]), abs(ref[-1]))
+    assert info["true_residuals"].max() < 1e-8 * scale
+
+
+def test_hisqev_driver_and_deflation():
+    """stag_eigs end-to-end + deflated CG converges in fewer
+    iterations than plain CG at light mass."""
+    from functools import partial
+    from qex_tpu.eigens import deflation_basis, stag_eigs
+    from qex_tpu.solvers import cg
+    from qex_tpu.solvers.deflate import deflated_cg
+
+    lat = Lattice((4, 4, 4, 4))
+    key = jax.random.PRNGKey(31)
+    u = jnp.stack([group.random_su(jax.random.fold_in(key, i), lat.dims,
+                                   lat.nc, DT) for i in range(lat.nd)])
+    res = stag_eigs(lat, u, 8, bc="pppa", degree=24, tol=1e-8)
+    assert res.resids.max() < 1e-6 * max(res.evals.max(), 1.0)
+    assert np.all(np.diff(res.evals) >= -1e-12)
+
+    m = 0.02
+    s = st.new_stag_eo(lat, u, bc="pppa")
+    op = jax.jit(lambda v: st.d2ee(s, v, m))
+    b = (jax.random.normal(jax.random.fold_in(key, 99),
+                           (lat.nc,) + lat.dims[:-1]
+                           + (lat.dims[-1] // 2,)) + 0j).astype(DT)
+    evals, vecs = deflation_basis(res, m)
+    x_d, st_d = jax.jit(partial(deflated_cg, op, r2req=1e-12,
+                                maxits=2000))(b, evals=evals, vecs=vecs)
+    x_p, st_p = jax.jit(lambda bb: cg.cg_solve_restarted(
+        op, bb, r2req=1e-12, maxits=2000))(b)
+    rd = float(linalg.norm2(op(x_d) - b)) / float(linalg.norm2(b))
+    assert rd < 1e-10, rd
+    assert int(st_d.iterations) < int(st_p.iterations), (
+        int(st_d.iterations), int(st_p.iterations))
+
+
+def test_rooted_fermion_calibrated_range():
+    from qex_tpu.physics import stag_hmc
+    from qex_tpu.solvers.base import SolverParams
+    lat = Lattice((4, 4, 4, 4))
+    key = jax.random.PRNGKey(41)
+    u = jnp.stack([group.random_su(jax.random.fold_in(key, i), lat.dims,
+                                   lat.nc, DT) for i in range(lat.nd)])
+    rf = stag_hmc.StagRootedFermion(lat, 0.1, nf=2,
+                                    params=SolverParams(r2req=1e-12,
+                                                        maxits=1000,
+                                                        restarts=1))
+    lo0, hi0 = rf._spectral_range()
+    rf2 = rf.calibrate_spectral_range(u)
+    lo1, hi1 = rf2._spectral_range()
+    assert hi1 < hi0            # tighter top than the nd^2 bound
+    assert lo1 > 0
+    # action still evaluates finitely with the tightened interval
+    phi = rf2.heatbath(jax.random.fold_in(key, 7), u)
+    sval = float(rf2.action(u, phi))
+    assert np.isfinite(sval)
