@@ -142,6 +142,91 @@ def main(argv=None) -> int:
     fl = (lat.nd * 4 * 72 + 60) * (V // 2) * nits
     print(f"CG m=0.01: {dt:6.3f} s, {int(nits)} iters, "
           f"{fl/dt/1e9:8.1f} GF/s (QEX flop model)")
+
+    # --- lattice IO (benchQio) -----------------------------------------
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from qex_tpu.io import lime
+
+    un = np.asarray(u)
+    with tempfile.TemporaryDirectory() as td:
+        fn = os.path.join(td, "bench_gauge.lime")
+        t0 = time.perf_counter()
+        lime.save_gauge(fn, lat, un)
+        t_w = time.perf_counter() - t0
+        sz = os.path.getsize(fn)
+        t0 = time.perf_counter()
+        lime.load_gauge(fn, lat)
+        t_r = time.perf_counter() - t0
+        site_view = np.frombuffer(np.ascontiguousarray(
+            lime._to_lex_sites(lat, un.astype(">c8"),
+                               (lat.nd, lat.nc, lat.nc))).tobytes(),
+            np.uint8).reshape(lat.volume, -1)
+        t0 = time.perf_counter()
+        lime.dml_checksum(site_view)
+        t_c = time.perf_counter() - t0
+        print(f"IO write: {t_w:6.3f} s {sz/t_w/1e6:7.0f} MB/s | "
+              f"read(+cksum): {t_r:6.3f} s {sz/t_r/1e6:7.0f} MB/s | "
+              f"dml_checksum: {t_c*1e3:7.1f} ms")
+
+    # --- multi-device halo exchange (benchGather, sharded) -------------
+    ndev = len(jax.devices())
+    if ndev > 1:
+        from functools import partial
+
+        from jax.experimental.shard_map import shard_map
+        from qex_tpu.parallel import make_lattice_mesh, shard_field
+        from qex_tpu.parallel.halo import dslash_full_sharded, shift_halo
+        from qex_tpu.parallel.mesh import field_spec
+
+        lm = make_lattice_mesh(lat)
+        vs = shard_field(lm, v, 1)
+        names = lm.mesh.axis_names
+        sizes = [lm.mesh.shape[a] for a in names]
+        nch = 20  # chained halo applications per fetch (one jit --
+        #           queuing collectives asynchronously can deadlock the
+        #           CPU in-process communicator and wastes fetch RTTs
+        #           on the tunneled TPU)
+        for mu in range(lat.nd):
+            if sizes[mu] == 1:
+                continue
+            spec = field_spec(lm, 1)
+            f = shard_map(
+                partial(shift_halo, mu=mu, sign=1, nd=lat.nd,
+                        axis_name=names[mu], nmesh=sizes[mu]),
+                mesh=lm.mesh, in_specs=(spec,), out_specs=spec)
+
+            @jax.jit
+            def chain(a, f=f):
+                def body(x, _):
+                    return f(x), None
+                a, _ = jax.lax.scan(body, a, None, length=nch)
+                return scal(a)
+
+            dt, n = _timeit(chain, vs, budget_s=args.budget / 2)
+            dt /= nch
+            face = V // lat.dims[mu] * lat.nc * 8
+            print(f"halo mu={mu} ({sizes[mu]} dev): {dt*1e6:9.1f} us "
+                  f"{face/dt/1e9:6.2f} GB/s face  (x{n})")
+        gp = st.phase_links(lat, u)
+        gps = shard_field(lm, gp, 3)
+
+        @jax.jit
+        def ds_chain(gg, xx):
+            def body(x, _):
+                w = dslash_full_sharded(lm, gg, x)
+                return w / jnp.sqrt(jnp.sum(jnp.abs(w) ** 2)).astype(
+                    w.dtype), None
+            xx, _ = jax.lax.scan(body, xx, None, length=nch)
+            return scal(xx)
+
+        dt, n = _timeit(ds_chain, gps, vs, budget_s=args.budget)
+        dt /= nch
+        print(f"sharded dslash ({ndev} dev): {dt*1e3:9.2f} ms "
+              f"{594*V/dt/1e9:7.1f} GF/s  (x{n})")
     return 0
 
 
