@@ -45,7 +45,9 @@ def main():
                               jnp.float32)
         return s.g_e, s.g_o, x / jnp.sqrt(jnp.sum(x * x))
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=2)
     def make_links(ge, go, bf16):
         p = sp3.new_pallas3(sf.FastStagEO(lat, ge, go),
                             links_dtype=jnp.bfloat16 if bf16

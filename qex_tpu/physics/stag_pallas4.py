@@ -87,14 +87,20 @@ def _dslash4_kernel(X: int, parity_out: int, nslots: int,
         return jnp.where(s_par, P, Ptm)          # psi(x-t)
 
     def matvec(buf, v):
-        """(2,3,Z,YX) result of the fused 3x3 complex matvec."""
-        L = lbuf[buf]                            # (2, 3, 3, Z, YX)
-        Lr, Li = L[0], L[1]
-        vr, vi = v[0][None], v[1][None]          # (1, 3, Z, YX)
-        tr = Lr * vr - Li * vi                   # (3, 3, Z, YX)
-        ti = Lr * vi + Li * vr
-        return jnp.stack([tr[:, 0] + tr[:, 1] + tr[:, 2],
-                          ti[:, 0] + ti[:, 1] + ti[:, 2]])
+        """(2,3,Z,YX) result of the 3x3 complex matvec, fused per
+        output color: (3,Z,YX) temporaries keep the kernel inside the
+        16 MB VMEM scoped-stack limit (the fully-fused (3,3,Z,YX)
+        version overflowed it by 2 MB at 32^4)."""
+        vr, vi = v[0], v[1]                      # (3, Z, YX)
+        outs_r, outs_i = [], []
+        for a in range(3):
+            Lr = lbuf[buf, 0, a]                 # (3, Z, YX)
+            Li = lbuf[buf, 1, a]
+            tr = Lr * vr - Li * vi
+            ti = Lr * vi + Li * vr
+            outs_r.append(tr[0] + tr[1] + tr[2])
+            outs_i.append(ti[0] + ti[1] + ti[2])
+        return jnp.stack([jnp.stack(outs_r), jnp.stack(outs_i)])
 
     look = nslots - 1
     for k in range(min(look, 8)):
@@ -137,8 +143,12 @@ def dslash_pallas4(s: PallasStagEO3, x_split: jax.Array, parity_out: int,
     bytes_acc = ((8 * 18 * lbytes + 4 * 24) * (lat.volume // 2))
     kwargs = {}
     if not interpret:
+        # fused (2,3,Z,YX) temporaries push the scoped-VMEM stack ~0.4MB
+        # past the 16 MB default at 32^4; raise the cap (v5e physical
+        # VMEM is larger; Mosaic accepts up to ~2x here)
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",))
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
         partial(_dslash4_kernel, X, parity_out, nslots, compute_only),
         grid=(Th,),
