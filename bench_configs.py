@@ -155,9 +155,12 @@ def main(argv=None) -> int:
         @jax.jit
         def cfg5(fl, ll, bb):
             from qex_tpu.physics import stag_fast as sfst
+            from qex_tpu.physics.stag_hmc import _fast3_ops
             s3 = st.new_stag3_eo(lat, fl, ll)
             f3 = sfst.new_fast3(s3)
-            base = lambda x: sfst.d2dd3_fast(f3, x, parity=0)
+            # fused 16-term Pallas stencil on TPU (stag_pallas_hisq),
+            # XLA fast layout on CPU -- the production routing
+            _, base = _fast3_ops(f3)
             masses = [0.05, 0.1, 0.2, 0.4]
             xs, stats = cgm.cg_multishift(base, sfst.to_fast(bb, lat),
                                           [m * m for m in masses],

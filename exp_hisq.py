@@ -58,9 +58,13 @@ def main():
         fl, ll = fat7.hisq_links_lowmem(lat, g)  # per-dir jits (24^3x48 fits)
         return (*pack_fast(fl, ll), x)
 
-    @jax.jit
-    def make_pallas(gfe, gfo, gle, glo):
-        p = sph.new_pallas_hisq(sf.FastStag3EO(lat, gfe, gfo, gle, glo))
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=4)
+    def make_pallas(gfe, gfo, gle, glo, bf16=False):
+        p = sph.new_pallas_hisq(
+            sf.FastStag3EO(lat, gfe, gfo, gle, glo),
+            links_dtype=jnp.bfloat16 if bf16 else jnp.float32)
         return p.l_e, p.l_o
 
     @jax.jit
@@ -115,11 +119,13 @@ def main():
     args = setup(jax.random.PRNGKey(11))
     *links3, x = args
     lp = make_pallas(*links3)
+    lb = make_pallas(*links3, True)
     print(f"# dims={dims} cross-check rel dev: "
           f"{float(cross(*links3, *lp, x)):.3e}", flush=True)
 
     for name, ch, a in (("fast-xla", chain_fast, (*links3, x)),
-                        ("pallas-hisq", chain_pallas, (*lp, x))):
+                        ("pallas-hisq", chain_pallas, (*lp, x)),
+                        ("pallas-hisq-bf16", chain_pallas, (*lb, x))):
         float(ch(*a))
         t0 = time.perf_counter()
         float(ch(*a))
@@ -139,6 +145,39 @@ def main():
         dt = time.perf_counter() - t0
         print(f"{name}: {dt:.3f} s  its={int(float(its))} r2={r2v:.2e}",
               flush=True)
+
+    # single-mass action solve: f32 vs bf16-inner sloppy (both to the
+    # same 1e-12 TRUE residual via f32 true-residual restarts)
+    from qex_tpu.solvers import cg as cgmod
+    m0 = masses[0]
+
+    @partial(jax.jit, static_argnums=5)
+    def ee_solve(le, lo, lbe, lbo, v, sloppy):
+        p = sph.PallasStag3EO(lat, le, lo)
+        op = lambda w: sph._join(
+            sph.d2ee_pallas_hisq(p, sph._split(w), m0))
+        op_true, floor = None, 1e-12
+        if sloppy:
+            pb = sph.PallasStag3EO(lat, lbe, lbo)
+            op_true, floor = op, 1e-5
+            op = lambda w: sph._join(
+                sph.d2ee_pallas_hisq(pb, sph._split(w), m0))
+        xe, stats = cgmod.cg_solve_restarted(
+            op, v, r2req=1e-12, maxits=800, restarts=3,
+            op_true=op_true, inner_r2req_floor=floor)
+        return (jnp.real(stats.r2).astype(jnp.float32),
+                stats.iterations.astype(jnp.float32))
+
+    for name, sl in (("ee-solve f32", False), ("ee-solve sloppy-bf16",
+                                               True)):
+        r2, its = ee_solve(*lp, *lb, x, sl)
+        float(r2)
+        t0 = time.perf_counter()
+        r2, its = ee_solve(*lp, *lb, x, sl)
+        r2v = float(r2)
+        dt = time.perf_counter() - t0
+        print(f"{name}: {dt:.3f} s  its={int(float(its))} "
+              f"true r2={r2v:.2e}", flush=True)
 
 
 if __name__ == "__main__":

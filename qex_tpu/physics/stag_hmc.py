@@ -192,6 +192,23 @@ def _fast3_ops(f3):
     ``(d2ee3(v, m), d2dd3(v))`` on fast-layout complex vectors.
     Solves sit inside custom_vjp fwd/bwd, so AD never traces through
     the kernel."""
+    ee, dd, _ = _fast3_ops_sloppy(f3)
+    return ee, dd
+
+
+def _fast3_ops_sloppy(f3):
+    """(d2ee3, d2dd3, d2ee3_sloppy_or_None): as :func:`_fast3_ops`
+    plus an optional cheaper inner op for sloppy CG iterations (the
+    QEX sloppySolve mixed-precision role; pair with the full-precision
+    op as ``op_true`` in cg_solve_restarted).
+
+    Currently always returns None for the sloppy slot: the bf16-link
+    HISQ kernel MEASURED SLOWER than f32 on v5e (exp_hisq.py 24^3x48
+    same-process A/B: 1.96 vs 1.35 ms/d2dd, sloppy ee-solve 0.44 vs
+    0.35 s) -- the 16-term streamed kernel pays twice v3's VPU
+    bf16->f32 conversion work and is not DMA-bound, so halving link
+    traffic does not pay.  The hook stays so a faster sloppy operator
+    can slot in without touching the solve drivers."""
     from . import stag_fast as sfst
     from .stag_solve import _use_pallas
     if _use_pallas(f3.lat):
@@ -202,9 +219,10 @@ def _fast3_ops(f3):
                 sph.d2ee_pallas_hisq(p3, sph._split(v), m))
             dd = lambda v: sph._join(
                 sph.d2dd_pallas_hisq(p3, sph._split(v), 0))
-            return ee, dd
+            return ee, dd, None
     return (lambda v, m: sfst.d2ee3_fast(f3, v, m),
-            lambda v: sfst.d2dd3_fast(f3, v, parity=0))
+            lambda v: sfst.d2dd3_fast(f3, v, parity=0),
+            None)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -265,12 +283,19 @@ class HisqFermion:
                 # lane-packed fast layout brackets the Krylov solve
                 from . import stag_fast as sfst
                 f3 = sfst.new_fast3(s3)
-                ee, _ = _fast3_ops(f3)
+                ee, _, ee_b = _fast3_ops_sloppy(f3)
                 op = lambda v: ee(v, self.m)
+                op_true, floor = None, 1e-12
+                if getattr(sp, "sloppy", False) and ee_b is not None:
+                    # bf16-link inner iterations + f32 true-residual
+                    # restarts (same recipe as stag_solve.solve_ee)
+                    op_true, floor = op, 1e-5
+                    op = lambda v: ee_b(v, self.m)
                 xf, _ = cgmod.cg_solve_restarted(
                     op, sfst.to_fast(phi, self.lat),
                     r2req=sp.r2req, maxits=sp.maxits,
-                    restarts=sp.restarts)
+                    restarts=sp.restarts, op_true=op_true,
+                    inner_r2req_floor=floor)
                 return sfst.from_fast(xf, self.lat)
             op = lambda v: st.d2ee3(s3, v, self.m)
             x, _ = cgmod.cg_solve_restarted(

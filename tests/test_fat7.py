@@ -174,3 +174,33 @@ def test_hisq_links_lowmem_matches_fused(lat, u):
     fl2, ll2 = fat7.hisq_links_lowmem(lat, u)
     assert float(jnp.max(jnp.abs(fl1 - fl2))) < 1e-12
     assert float(jnp.max(jnp.abs(ll1 - ll2))) < 1e-12
+
+
+def test_hisq_sloppy_param_fallback(lat, u):
+    """SolverParams.sloppy on the HISQ action: on CPU (no Pallas) the
+    bf16 inner op is unavailable and the solve must fall back to the
+    plain f32 path with identical results."""
+    import jax
+    from qex_tpu.physics import stag_hmc
+    from qex_tpu.solvers.base import SolverParams
+    f32 = stag_hmc.HisqFermion(lat, m=0.5, bc="pppp",
+                               params=SolverParams(r2req=1e-16,
+                                                   maxits=2000,
+                                                   restarts=2))
+    fsl = stag_hmc.HisqFermion(lat, m=0.5, bc="pppp",
+                               params=SolverParams(r2req=1e-16,
+                                                   maxits=2000,
+                                                   restarts=2,
+                                                   sloppy=True))
+    phi = f32.heatbath(jax.random.PRNGKey(4), u)
+    a0, a1 = float(f32.action(u, phi)), float(fsl.action(u, phi))
+    assert abs(a0 - a1) < 1e-8 * max(1.0, abs(a0)), (a0, a1)
+    # the routing helper returns no bf16 op off-TPU
+    from qex_tpu.physics import stag_fast as sfst
+    from qex_tpu.gauge.fat7 import hisq_links
+    from qex_tpu.physics import staggered as stg
+    g = stg.phase_links(lat, u, "pppp")
+    fl, ll = hisq_links(lat, g)
+    f3 = sfst.new_fast3(stg.new_stag3_eo(lat, fl, ll))
+    _, _, ee_b = stag_hmc._fast3_ops_sloppy(f3)
+    assert ee_b is None
