@@ -204,3 +204,26 @@ def test_hisq_sloppy_param_fallback(lat, u):
     f3 = sfst.new_fast3(stg.new_stag3_eo(lat, fl, ll))
     _, _, ee_b = stag_hmc._fast3_ops_sloppy(f3)
     assert ee_b is None
+
+
+def test_hisq_in_theory(lat, u):
+    """kind='hisq' composes into a stable HMC trajectory (the hisqhmc
+    example program role, reference src/examples/hisqhmc.nim) with the
+    internal fat7+naik smearing and implicit-diff CG forces."""
+    import jax
+    from qex_tpu.gauge import action as ga
+    from qex_tpu.mcmc import FermionSpec, GaugeActionSpec, \
+        LatticeFieldTheory
+    from qex_tpu.solvers.base import SolverParams
+
+    theory = LatticeFieldTheory(
+        lat,
+        gauge=GaugeActionSpec(ga.wilson(5.0), steps=12, scheme="2MN"),
+        fermions=[FermionSpec("hisq", mass=0.4, steps=6,
+                              scheme="2MN")],
+        smear=None, bc="pppa",
+        solver_params=SolverParams(r2req=1e-14, maxits=2000,
+                                   restarts=2),
+        tau=0.3)
+    u1, stt = theory.hmc_step(jax.random.PRNGKey(3), u)
+    assert abs(float(stt.dH)) < 0.5, float(stt.dH)
