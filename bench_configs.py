@@ -3,11 +3,16 @@
   1. 8^4  SU(3) staggered eo CG, m=0.1, hot start
   2. 16^4 Wilson-action gradient flow to t=1.0
   3. 16^3x32 quenched SU(3) HMC (Wilson + Omelyan 2MN)
-  4. 24^4 nHYP staggered+PV HMC  (run via apps/staghmc_spv; see --help)
+  4. 24^4 nHYP staggered+PV HMC (one trajectory of the production app
+     apps/staghmc_spv; split-jit dispatch, compiles for tens of
+     minutes on first run -- not in the default set)
   5. 32^3x64 HISQ multi-mass CG (single chip) + sharded dryrun
+  6. 32^4 HISQ multi-mass CG, synthetic SU(3) fat/long links (the
+     headline-volume kernel point; the real two-level fattening at this
+     volume exceeds one chip's HBM and belongs on the sharded mesh)
 
 Prints one summary line per config.  Usage:
-    python bench_configs.py [--cpu] [--configs 1 2 3 5]
+    python bench_configs.py [--cpu] [--configs 1 2 3 5 6]
 """
 
 from __future__ import annotations
@@ -24,7 +29,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--configs", type=int, nargs="+",
-                    default=[1, 2, 3, 5])
+                    default=[1, 2, 3, 5, 6])
     args = ap.parse_args(argv)
 
     import jax
@@ -138,28 +143,40 @@ def main(argv=None) -> int:
         print(f"CONFIG3 16^3x32 quenched HMC (2MN, 20 steps): "
               f"{dt:.3f} s/traj, dH={sync(dH):+.4f}, plaq={plv:.5f}")
 
-    if 5 in args.configs:
-        # 32^3x64 HISQ needs ~48 GB for the two-level fattening
-        # intermediates -- that config belongs on the v5p-32 mesh
-        # (dryrun-validated); the single-chip timing point is 24^3x48.
-        lat = Lattice((24, 24, 24, 48))
-        u = hot(lat)
-        from qex_tpu.gauge.fat7 import hisq_links_lowmem
+    if 4 in args.configs:
+        # the staghmc_spv production composition (2 smeared staggered
+        # fields + 1 PV boson + smeared and unsmeared gauge action);
+        # per-trajectory seconds line printed by the app itself
+        import subprocess
+        cmd = [sys.executable, "-m", "qex_tpu.apps.staghmc_spv",
+               "--ntraj", "1",
+               "-ns=24", "-nt=24", "-beta=7.0", "-tau=1.0",
+               "-nf=8", "-mass=0.05", "-num_pv=1", "-mass_pv=0.5",
+               "-g_steps=24", "-f_steps=12", "-pv_steps=12",
+               "-start=hot", "-no_metropolis_until=1"]
+        if args.cpu:
+            cmd.append("--cpu")
+        t0 = time.perf_counter()
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        dt = time.perf_counter() - t0
+        ok = r.returncode == 0
+        plaq = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("MEASplaq ")]
+        print(f"CONFIG4 24^4 nHYP stag+PV HMC: {dt:.1f} s "
+              f"(incl. compiles), ok={ok}, "
+              f"{plaq[-1] if plaq else r.stderr[-300:]}")
+
+    def hisq_multishift(tag, lat, fl, ll, seed):
+        """4-mass HISQ multishift through the production routing
+        (fused 16-term Pallas stencil on TPU, XLA fast layout on CPU)."""
         from qex_tpu.solvers import cgm
 
-        # fattening chunked per direction outside the solve jit: the
-        # fused graph's lane-padded temps exceed one chip's HBM here
-        phase = jax.jit(lambda uu: st.phase_links(lat, uu, "pppa"))
-        fl, ll = hisq_links_lowmem(lat, phase(u))
-
         @jax.jit
-        def cfg5(fl, ll, bb):
+        def solve(fl, ll, bb):
             from qex_tpu.physics import stag_fast as sfst
             from qex_tpu.physics.stag_hmc import _fast3_ops
             s3 = st.new_stag3_eo(lat, fl, ll)
             f3 = sfst.new_fast3(s3)
-            # fused 16-term Pallas stencil on TPU (stag_pallas_hisq),
-            # XLA fast layout on CPU -- the production routing
             _, base = _fast3_ops(f3)
             masses = [0.05, 0.1, 0.2, 0.4]
             xs, stats = cgm.cg_multishift(base, sfst.to_fast(bb, lat),
@@ -168,18 +185,44 @@ def main(argv=None) -> int:
             return (jnp.real(stats.r2).astype(jnp.float32),
                     stats.iterations.astype(jnp.float32))
 
-        b = jax.random.normal(jax.random.PRNGKey(5),
+        b = jax.random.normal(jax.random.PRNGKey(seed),
                               (lat.nc,) + lat.dims[:-1]
                               + (lat.dims[-1] // 2,), jnp.float32
                               ).astype(dtype)
-        r2, its = cfg5(fl, ll, b)
+        r2, its = solve(fl, ll, b)
         sync(r2)
         t0 = time.perf_counter()
-        r2, its = cfg5(fl, ll, b)
+        r2, its = solve(fl, ll, b)
         r2v = sync(r2)
         dt = time.perf_counter() - t0
-        print(f"CONFIG5 24^3x48 HISQ 4-mass multishift CG: {dt:.3f} s,"
+        print(f"{tag} HISQ 4-mass multishift CG: {dt:.3f} s,"
               f" its={int(sync(its))}, worst rel_r2={r2v:.2e}")
+
+    if 5 in args.configs:
+        # 32^3x64 HISQ needs ~48 GB for the two-level fattening
+        # intermediates -- that config belongs on the v5p-32 mesh
+        # (dryrun-validated); the single-chip timing point with REAL
+        # hisq fattening is 24^3x48.
+        lat = Lattice((24, 24, 24, 48))
+        u = hot(lat)
+        from qex_tpu.gauge.fat7 import hisq_links_lowmem
+
+        # fattening chunked per direction outside the solve jit: the
+        # fused graph's lane-padded temps exceed one chip's HBM here
+        phase = jax.jit(lambda uu: st.phase_links(lat, uu, "pppa"))
+        fl, ll = hisq_links_lowmem(lat, phase(u))
+        hisq_multishift("CONFIG5 24^3x48", lat, fl, ll, 5)
+
+    if 6 in args.configs:
+        # headline-volume kernel point: synthetic SU(3) fat/long links
+        # stand in for the fattening (multishift time is independent of
+        # link provenance; the real 32^4 fattening needs the mesh)
+        lat = Lattice((32, 32, 32, 32))
+        fl = hot(lat, seed=61)
+        # ~naik-coefficient-sized long links (eager ops unsupported on
+        # the tunneled chip: scale inside jit)
+        ll = jax.jit(lambda uu: 0.1 * uu)(hot(lat, seed=62))
+        hisq_multishift("CONFIG6 32^4 (synthetic links)", lat, fl, ll, 6)
 
     return 0
 
