@@ -190,17 +190,25 @@ def main() -> None:
     else:
         args = (ge, go)
         args_f32 = None
+    def time_chain(a, reps=5):
+        """Best-of-reps per-application time: the tunnel chip's
+        throughput swings ~1.5x with congestion over hours (CLAUDE.md);
+        the MIN over repeated chains measures the kernel's capability
+        rather than the epoch's luck.  Each rep is a full jitted chain
+        ended by a scalar fetch (hard sync on every backend)."""
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(chain(*a, x))      # scalar fetch = hard sync
+            best = min(best, time.perf_counter() - t0)
+        return best / (iters * napp)
+
     float(chain(*args, x))           # compile + warm
-    t0 = time.perf_counter()
-    float(chain(*args, x))           # scalar fetch = hard sync
-    t_total = time.perf_counter() - t0
-    t = t_total / (iters * napp)     # per Dslash application
+    t = time_chain(args)             # per Dslash application
     if args_f32 is not None:
         # same-process f32-link number for cross-round comparability
         float(chain(*args_f32, x))
-        t0 = time.perf_counter()
-        float(chain(*args_f32, x))
-        t_f32 = (time.perf_counter() - t0) / (iters * napp)
+        t_f32 = time_chain(args_f32)
         print(f"# f32-link kernel (same process): {t_f32*1e3:.3f} ms/app"
               f", {594*(lat.volume//2)/t_f32/1e9:.1f} GFLOP/s",
               file=sys.stderr)
@@ -222,9 +230,12 @@ def main() -> None:
 
     xb = bw_setup()
     float(bw_chain(xb))
-    t0 = time.perf_counter()
-    float(bw_chain(xb))
-    bw_meas = 20 * 2 * 4 * nbw / (time.perf_counter() - t0) / 1e9
+    t_bw = float("inf")
+    for _ in range(3):               # best-of-3 (congestion swings)
+        t0 = time.perf_counter()
+        float(bw_chain(xb))
+        t_bw = min(t_bw, time.perf_counter() - t0)
+    bw_meas = 20 * 2 * 4 * nbw / t_bw / 1e9
 
     sites_out = lat.volume // 2
     flops = st.dslash_flops_per_site(lat.nd, lat.nc) * sites_out
@@ -261,8 +272,12 @@ def main() -> None:
                 op = lambda v: sp._join(
                     sp.d2ee_pallas3(so, sp._split(v), mass))
                 op_true = lambda v: sf.d2ee_fast(fs2, v, mass)
+                # restarts=5: each bf16-inner defect correction gains
+                # ~1e-5 in true residual; the converged short-circuit
+                # makes unused restarts free, and 3 left the proof at
+                # 8e-10 on one epoch
                 xe, stats = cg.cg_solve_restarted(
-                    op, be, r2req=1e-12, maxits=500, restarts=3,
+                    op, be, r2req=1e-12, maxits=500, restarts=5,
                     op_true=op_true, inner_r2req_floor=1e-5)
                 return (jnp.real(stats.r2).astype(jnp.float32),
                         stats.iterations.astype(jnp.float32))
