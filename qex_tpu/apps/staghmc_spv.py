@@ -185,6 +185,21 @@ def main(argv=None) -> int:
                 for i in range(lat.nd)])
         u = hot(cfg.parallel_seed)
 
+    if cfg.rank_geom:
+        # GSPMD-sharded chain over a device mesh (QEX -rankgeom:,
+        # layoutX.nim:83; sharded-vs-replicated equality pinned by
+        # tests/test_sharded_hotpath.py and test_spv_parity.py)
+        import math
+
+        from qex_tpu.parallel import make_lattice_mesh, shard_field
+        rg = tuple(int(x) for x in
+                   cfg.rank_geom.replace("x", ",").split(",") if x)
+        lm = make_lattice_mesh(lat, devices=jax.devices()[:math.prod(rg)],
+                               rank_geom=rg)
+        u = shard_field(lm, u, 3)
+        print(f"# device mesh rank_geom={lm.rank_geom} "
+              f"({math.prod(rg)} devices)")
+
     @jax.jit
     def measure(u):
         pl = loops.plaquette(lat, u)

@@ -177,7 +177,7 @@ def main(argv=None) -> int:
     if ndev > 1:
         from functools import partial
 
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from qex_tpu.parallel import make_lattice_mesh, shard_field
         from qex_tpu.parallel.halo import dslash_full_sharded, shift_halo
         from qex_tpu.parallel.mesh import field_spec

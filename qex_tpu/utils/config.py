@@ -64,6 +64,10 @@ class HMCConfig:
     num_ns: int = 3
     num_nt: int = 1
     bc: str = "aaaa"
+    # device-mesh rank geometry "gx,gy,gz,gt" (QEX -rankgeom:,
+    # layoutX.nim:83); "" = single device.  The HMC chain then runs
+    # GSPMD-sharded over prod(rank_geom) devices (docs/MULTICHIP.md).
+    rank_geom: str = ""
     # <action><gauge>
     gauge_act: str = "Wilson"    # Wilson | rect | adjoint
     beta: float = 5.0
@@ -143,6 +147,7 @@ class HMCConfig:
         c.num_ns = _get(root, "action/geom/num_Ns", c.num_ns, int)
         c.num_nt = _get(root, "action/geom/num_Nt", c.num_nt, int)
         c.bc = _get(root, "action/geom/bc", c.bc)
+        c.rank_geom = _get(root, "action/geom/rank_geom", c.rank_geom)
         c.gauge_act = _get(root, "action/gauge/gauge_act", c.gauge_act)
         c.beta = _get(root, "action/gauge/beta", c.beta, float)
         c.adj_fac = _get(root, "action/gauge/adjoint/adj_fac", c.adj_fac,

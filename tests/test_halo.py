@@ -43,7 +43,7 @@ def test_mesh_uses_8_devices(lm):
 @pytest.mark.parametrize("mu", [0, 1, 2, 3])
 @pytest.mark.parametrize("sign", [1, -1])
 def test_shift_halo_matches_roll(lm, fields, mu, sign):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from qex_tpu.parallel.mesh import field_spec
     u, x = fields
     lat = lm.lat

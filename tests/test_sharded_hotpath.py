@@ -132,6 +132,30 @@ def test_solve_eo_driver_sharded(setup):
     assert rel < 1e-10, rel
 
 
+def test_hisq_fattening_sharded_matches(setup):
+    # the two-level HISQ fattening (fat7 -> U(3) projection -> asqtad
+    # fat + naik) under GSPMD sharding: this is the config-5 path --
+    # real 32^4x64 fattening exceeds one chip's HBM and runs on the
+    # mesh (BASELINE.md north star).  Staples/projection/naik hops all
+    # cross shard boundaries here (local extents 4 and 2).
+    from qex_tpu.gauge import fat7
+
+    lat, lm, u, s, x_e = setup
+    fl_ref, ll_ref = jax.jit(lambda uu: fat7.hisq_links(lat, uu))(u)
+    fl_sh, ll_sh = jax.jit(lambda uu: fat7.hisq_links(lat, uu))(
+        shard_field(lm, u, 3))
+    for a, b in ((fl_sh, fl_ref), (ll_sh, ll_ref)):
+        dev = float(linalg.norm2(jnp.asarray(a) - b))
+        assert dev < 1e-24 * float(linalg.norm2(b)), dev
+    # the bounded-memory forward path (per-direction jits) also accepts
+    # sharded inputs and keeps the sharding across its jit boundaries
+    fl_lm, ll_lm = fat7.hisq_links_lowmem(lat, shard_field(lm, u, 3))
+    dev = float(linalg.norm2(jnp.asarray(fl_lm) - fl_ref))
+    assert dev < 1e-20 * float(linalg.norm2(fl_ref)), dev
+    dev = float(linalg.norm2(jnp.asarray(ll_lm) - ll_ref))
+    assert dev < 1e-20 * float(linalg.norm2(ll_ref)), dev
+
+
 def test_hmc_step_sharded_matches(setup):
     from qex_tpu.gauge import action as ga
     from qex_tpu.gauge import loops

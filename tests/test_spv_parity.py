@@ -109,3 +109,36 @@ def test_app_emits_check_lines(tmp_path):
     assert "SOLVER fermion" in r.stdout, r.stdout
     assert "Reversed H:" in r.stdout, r.stdout
     assert "REVCHECK" in r.stdout, r.stdout
+
+
+@pytest.mark.slow
+def test_app_rank_geom_sharded_matches(tmp_path):
+    # the rank_geom deck key (QEX -rankgeom:, layoutX.nim:83): the
+    # sharded chain reproduces the single-device chain measurement
+    # lines (GSPMD equality at app level, docs/MULTICHIP.md)
+    import os
+    base = [sys.executable, "-m", "qex_tpu.apps.staghmc_spv", "--cpu",
+            "--ntraj", "2", "-ns=4", "-nt=8", "-beta=5.0", "-tau=0.3",
+            "-g_steps=4", "-f_steps=2", "-nf=4", "-mass=0.5",
+            "-num_pv=0", "-gauge_smearing=none",
+            "-matter_smearing=none", "-start=hot",
+            "-no_metropolis_until=0", "-a_tol=1e-16", "-f_tol=1e-12"]
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo",
+               JAX_ENABLE_X64="1",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+
+    def run(extra):
+        r = subprocess.run(base + extra, capture_output=True, text=True,
+                           timeout=900, cwd="/root/repo", env=env)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [ln for ln in r.stdout.splitlines()
+                if ln.startswith(("MEASplaq ", "Begin H", "End H"))]
+
+    ref = run([])
+    shd = run(["-rank_geom=1,1,2,2"])
+    assert len(ref) == 6 and len(shd) == 6
+    for a, b in zip(ref, shd):
+        ta, tb = a.split(), b.split()
+        assert ta[0] == tb[0]
+        va, vb = float(ta[-1]), float(tb[-1])
+        assert va == pytest.approx(vb, rel=1e-8, abs=1e-10), (a, b)
