@@ -140,25 +140,57 @@ def solve_multi(s: st.StaggeredEO, b_e: jax.Array, masses: list[float],
 
     shifts = [m * m for m in masses]
     if s.lat.nd == 4:
+        import jax.numpy as jnp
+
         from . import stag_fast as sf
         fs = sf.new_fast(s)
+        base_sloppy = None
         if _use_pallas(s.lat):
             from . import stag_pallas3 as sp3
             if sp3.fits(s.lat):
                 ps = sp3.new_pallas3(fs)
                 base = lambda v: sp3._join(
                     sp3.d2dd_pallas3(ps, sp3._split(v), 0))
+                if params.sloppy:
+                    # bf16-link sloppy pass + per-shift f32
+                    # true-residual refinement (QEX sloppySolve for
+                    # the multimass path)
+                    psb = sp3.new_pallas3(fs, links_dtype=jnp.bfloat16)
+                    base_sloppy = lambda v: sp3._join(
+                        sp3.d2dd_pallas3(psb, sp3._split(v), 0))
             else:
                 from . import stag_pallas as sp
                 p1 = sp.new_pallas(fs)
                 # d2ee at m=0 is exactly the shift-free base -D_eo D_oe
                 base = lambda v: sp._join(
                     sp.d2ee_pallas(p1, sp._split(v), 0.0))
+                if params.sloppy:
+                    pb = sp.new_pallas(fs, links_dtype=jnp.bfloat16)
+                    base_sloppy = lambda v: sp._join(
+                        sp.d2ee_pallas(pb, sp._split(v), 0.0))
         else:
             base = partial(sf.d2dd_fast, fs, parity=0)
-        xs, stats = cgm.cg_multishift(base, sf.to_fast(b_e, s.lat),
-                                      shifts, r2req=params.r2req,
-                                      maxits=params.maxits)
+        bf = sf.to_fast(b_e, s.lat)
+        # single-pass achievable floor: the multishift recurrence cannot
+        # restart, so rounding accumulates; the smallest shift stalls
+        # near 1e-8 (rel r2) in c64
+        floor = 1e-8 if bf.dtype == jnp.complex64 else 1e-22
+        if base_sloppy is not None:
+            xs, stats = cgm.cg_multishift_refined(
+                base_sloppy, base, bf, shifts, r2req=params.r2req,
+                maxits=params.maxits, sloppy_r2req=1e-5)
+        elif params.r2req < floor and params.restarts > 0:
+            # QEX parity: solveXX re-solves each mass until its TRUE
+            # residual passes (stagSolve.nim:296-460); here the
+            # per-shift defect refinement lifts the c64 floor
+            xs, stats = cgm.cg_multishift_refined(
+                base, base, bf, shifts, r2req=params.r2req,
+                maxits=params.maxits, sloppy_r2req=floor,
+                refine_restarts=params.restarts)
+        else:
+            xs, stats = cgm.cg_multishift(base, bf, shifts,
+                                          r2req=params.r2req,
+                                          maxits=params.maxits)
         return [sf.from_fast(x, s.lat) for x in xs], stats
     base = partial(st.d2dd, s, parity=0)  # -D_eo D_oe (shift-free part)
     xs, stats = cgm.cg_multishift(base, b_e, shifts, r2req=params.r2req,

@@ -98,3 +98,51 @@ def cg_multishift(base_op: Callable[[jax.Array], jax.Array], b: jax.Array,
         cond, body, init)
     stats = SolverStats(iterations=k, r2=jnp.max(zeta * zeta) * rho / b2)
     return [x[i] for i in range(ns)], stats
+
+
+def cg_multishift_refined(base_sloppy: Callable[[jax.Array], jax.Array],
+                          base_true: Callable[[jax.Array], jax.Array],
+                          b: jax.Array, shifts: Sequence[float], *,
+                          r2req: float = 1e-12, maxits: int = 2000,
+                          sloppy_r2req: float = 1e-8,
+                          refine_restarts: int = 2
+                          ) -> tuple[list[jax.Array], SolverStats]:
+    """Mixed-precision multishift: sloppy single-Krylov pass + per-shift
+    defect-correction refinement against the true operator.
+
+    The multishift recurrence cannot restart (the shifted iterates share
+    one Krylov space), so the QEX sloppySolve trick (bf16-link inner CG
+    + f32 true-residual restarts, solverBase.nim sloppySolve) is applied
+    per shift AFTER the joint pass: x_i += solve((A_true + sigma_i) e =
+    b - (A_true + sigma_i) x_i), with the refinement CG itself running
+    the sloppy operator inside true-residual restarts.  The sloppy pass
+    does the bulk of the iterations at reduced memory traffic; each
+    refinement only closes the gap sloppy_r2req -> r2req.
+
+    jit-safe (fixed shift count, while_loop inner solves).
+    """
+    from . import cg as cgmod
+
+    xs, st0 = cg_multishift(base_sloppy, b, shifts,
+                            r2req=max(r2req, sloppy_r2req), maxits=maxits)
+    # relative defect tolerance closing sloppy -> true (static floats;
+    # the defect norm is ~sloppy_r2req * |b|^2, so this lands the final
+    # true residual at ~r2req * |b|^2 with margin from the extra decade)
+    r2_ref = min(1.0, 0.1 * r2req / max(r2req, sloppy_r2req))
+    total = st0.iterations
+    out = []
+    worst = None
+    b2 = linalg.norm2(b)
+    for i, s in enumerate(shifts):
+        op_t = (lambda v, s=s: base_true(v) + s * v)
+        op_s = (lambda v, s=s: base_sloppy(v) + s * v)
+        d = b - op_t(xs[i])
+        e, sti = cgmod.cg_solve_restarted(
+            op_s, d, r2req=r2_ref, maxits=maxits,
+            restarts=refine_restarts, op_true=op_t,
+            inner_r2req_floor=max(r2_ref * 0.1, 1e-12))
+        out.append(xs[i] + e)
+        total = total + sti.iterations
+        ri = linalg.norm2(b - op_t(out[i])) / b2
+        worst = ri if worst is None else jnp.maximum(worst, ri)
+    return out, SolverStats(iterations=total, r2=worst)

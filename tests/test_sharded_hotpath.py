@@ -156,6 +156,53 @@ def test_hisq_fattening_sharded_matches(setup):
     assert dev < 1e-20 * float(linalg.norm2(ll_ref)), dev
 
 
+def test_wilson_solve_sharded_matches(setup):
+    # the Wilson eo-CGNE driver (half-spinor fast layout inside) under
+    # GSPMD: same Krylov trajectory and solution as replicated
+    from qex_tpu.physics import wilson as wl
+
+    lat, lm, u, s, x_e = setup
+    m = 0.3
+    w = wl.new_wilson_eo(lat, u, m)
+    b = (jax.random.normal(jax.random.PRNGKey(17),
+                           (4, lat.nc) + lat.dims) + 0j).astype(DT)
+    f = jax.jit(lambda ge, go, bb: wl.solve_eo(
+        wl.WilsonEO(lat, ge, go, m), bb,
+        SolverParams(r2req=1e-18, maxits=300, restarts=2)))
+    x_ref, st_ref = f(w.g_e, w.g_o, b)
+    x_sh, st_sh = f(_shard_eo(lm, w.g_e, 3), _shard_eo(lm, w.g_o, 3),
+                    shard_field(lm, b, 2))
+    assert int(st_sh.iterations) == int(st_ref.iterations)
+    dev = float(linalg.norm2(jnp.asarray(x_sh) - x_ref))
+    assert dev < 1e-16 * float(linalg.norm2(x_ref)), dev
+    # true residual of the sharded solution against the full operator
+    wd = wl.new_wilson(lat, u, m)
+    r = wl.wilson_d(wd, jnp.asarray(x_sh)) - b
+    rel = float(linalg.norm2(r)) / float(linalg.norm2(b))
+    assert rel < 1e-12, rel
+
+
+def test_stag_eigs_sharded_matches():
+    # the hisqev-style eigensolver driver accepts sharded gauge fields
+    # (its matvec jits run under GSPMD); eigenvalues match replicated
+    import numpy as np
+
+    from qex_tpu.eigens import hisqev
+
+    lat = Lattice((4, 4, 4, 4))
+    lm = make_lattice_mesh(lat, devices=jax.devices()[:4],
+                           rank_geom=(1, 1, 2, 2))
+    key = jax.random.PRNGKey(23)
+    u = jnp.stack([
+        group.random_su(jax.random.fold_in(key, i), lat.dims, lat.nc, DT)
+        for i in range(lat.nd)])
+    r_ref = hisqev.stag_eigs(lat, u, 4, tol=1e-10, seed=1)
+    r_sh = hisqev.stag_eigs(lat, shard_field(lm, u, 3), 4, tol=1e-10,
+                            seed=1)
+    assert np.allclose(r_sh.evals, r_ref.evals, rtol=1e-8)
+    assert max(r_sh.resids) < 1e-9
+
+
 def test_hmc_step_sharded_matches(setup):
     from qex_tpu.gauge import action as ga
     from qex_tpu.gauge import loops

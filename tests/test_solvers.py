@@ -66,3 +66,44 @@ def test_bicgstab_random_nonhermitian():
     b = jnp.asarray(rng.normal(size=n) + 0j)
     x, stats = bicgstab_solve(lambda v: aj @ v, b, r2req=1e-24)
     assert np.abs(np.asarray(aj @ x - b)).max() < 1e-9
+
+
+def test_multishift_refined_mixed_precision():
+    # cgm.cg_multishift_refined: a reduced-precision (c64-rounded)
+    # sloppy pass + per-shift true-residual refinement reaches f64
+    # residuals the sloppy operator alone cannot (the multishift analog
+    # of QEX sloppySolve; production use: bf16-link Pallas base op in
+    # stag_solve.solve_multi with params.sloppy)
+    from functools import partial
+
+    from qex_tpu.solvers import cgm
+
+    lat = Lattice((4, 4, 4, 4))
+    key = jax.random.PRNGKey(5)
+    u = jnp.stack([group.random_su(jax.random.fold_in(key, i), lat.dims,
+                                   lat.nc, DT) for i in range(lat.nd)])
+    s = st.new_stag_eo(lat, u)
+    b = (jax.random.normal(jax.random.fold_in(key, 8),
+                           (lat.nc,) + lat.dims[:-1]
+                           + (lat.dims[-1] // 2,)) + 0j).astype(DT)
+    base_true = partial(st.d2dd, s, parity=0)
+    s32 = st.StaggeredEO(lat, s.g_e.astype(jnp.complex64),
+                         s.g_o.astype(jnp.complex64))
+
+    def base_sloppy(v):
+        return st.d2dd(s32, v.astype(jnp.complex64), 0).astype(DT)
+
+    shifts = [0.04, 0.25, 1.0]
+    xs, stats = jax.jit(lambda bb: cgm.cg_multishift_refined(
+        base_sloppy, base_true, bb, shifts, r2req=1e-26,
+        sloppy_r2req=1e-10, maxits=600))(b)
+    b2 = float(linalg.norm2(b))
+    for sig, x in zip(shifts, xs):
+        r = b - (base_true(x) + sig * x)
+        rel = float(linalg.norm2(r)) / b2
+        assert rel < 1e-24, (sig, rel)
+    # the sloppy operator alone stalls well above that
+    xs0, _ = jax.jit(lambda bb: cgm.cg_multishift(
+        base_sloppy, bb, shifts, r2req=1e-26, maxits=600))(b)
+    r0 = b - (base_true(xs0[0]) + shifts[0] * xs0[0])
+    assert float(linalg.norm2(r0)) / b2 > 1e-18
