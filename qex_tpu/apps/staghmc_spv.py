@@ -23,7 +23,7 @@ import sys
 import time
 
 
-def build_theory(cfg, lat, dtype):
+def build_theory(cfg, lat, dtype, mesh=None):
     from qex_tpu.gauge import action as ga
     from qex_tpu.gauge.smear import HypCoefs
     from qex_tpu.mcmc import (FermionSpec, GaugeActionSpec,
@@ -80,11 +80,13 @@ def build_theory(cfg, lat, dtype):
     return LatticeFieldTheory(
         lat, gauges, fermions, smear=smear, bc=cfg.bc,
         solver_params=SolverParams(
-            r2req=cfg.a_tol, maxits=cfg.a_maxits, restarts=3),
+            r2req=cfg.a_tol, maxits=cfg.a_maxits, restarts=3,
+            mesh=mesh),
         # MD-force solves at the (usually looser) f_tol/f_maxits
         # (QEX staghmc_spv_init_and_io.nim:482)
         force_solver_params=SolverParams(
-            r2req=cfg.f_tol, maxits=cfg.f_maxits, restarts=3),
+            r2req=cfg.f_tol, maxits=cfg.f_maxits, restarts=3,
+            mesh=mesh),
         tau=cfg.tau)
 
 
@@ -153,7 +155,20 @@ def main(argv=None) -> int:
           f"mass={cfg.mass} num_pv={cfg.num_pv} mass_pv={cfg.mass_pv} "
           f"beta={cfg.beta} tau={cfg.tau} device={jax.devices()[0]}")
 
-    theory = build_theory(cfg, lat, dtype)
+    lm = None
+    if cfg.rank_geom:
+        import math
+
+        from qex_tpu.parallel import make_lattice_mesh
+        rg = tuple(int(x) for x in
+                   cfg.rank_geom.replace("x", ",").split(",") if x)
+        lm = make_lattice_mesh(lat, devices=jax.devices()[:math.prod(rg)],
+                               rank_geom=rg)
+    # on TPU, route the staggered solves through the shard_map Pallas
+    # kernels (stag_shard); on CPU the GSPMD XLA path is the fast one
+    theory = build_theory(cfg, lat, dtype,
+                          mesh=(lm if (lm is not None and not on_cpu)
+                                else None))
 
     # gauge start / resume
     start_traj = 0
@@ -185,20 +200,14 @@ def main(argv=None) -> int:
                 for i in range(lat.nd)])
         u = hot(cfg.parallel_seed)
 
-    if cfg.rank_geom:
-        # GSPMD-sharded chain over a device mesh (QEX -rankgeom:,
+    if lm is not None:
+        # GSPMD-sharded chain over the device mesh (QEX -rankgeom:,
         # layoutX.nim:83; sharded-vs-replicated equality pinned by
         # tests/test_sharded_hotpath.py and test_spv_parity.py)
-        import math
-
-        from qex_tpu.parallel import make_lattice_mesh, shard_field
-        rg = tuple(int(x) for x in
-                   cfg.rank_geom.replace("x", ",").split(",") if x)
-        lm = make_lattice_mesh(lat, devices=jax.devices()[:math.prod(rg)],
-                               rank_geom=rg)
+        from qex_tpu.parallel import shard_field
         u = shard_field(lm, u, 3)
         print(f"# device mesh rank_geom={lm.rank_geom} "
-              f"({math.prod(rg)} devices)")
+              f"({len(lm.mesh.devices.flat)} devices)")
 
     @jax.jit
     def measure(u):

@@ -185,18 +185,18 @@ class StagBoson:
         return make_quad_action(self.lat, self.bc, self.m)
 
 
-def _fast3_ops(f3):
+def _fast3_ops(f3, mesh=None):
     """Best fat+naik operator callables for a FastStag3EO: the fused
     16-term Pallas HISQ stencil (stag_pallas_hisq) on TPU when the
     geometry fits, else the XLA fast layout.  Returns
     ``(d2ee3(v, m), d2dd3(v))`` on fast-layout complex vectors.
     Solves sit inside custom_vjp fwd/bwd, so AD never traces through
     the kernel."""
-    ee, dd, _ = _fast3_ops_sloppy(f3)
+    ee, dd, _ = _fast3_ops_sloppy(f3, mesh)
     return ee, dd
 
 
-def _fast3_ops_sloppy(f3):
+def _fast3_ops_sloppy(f3, mesh=None):
     """(d2ee3, d2dd3, d2ee3_sloppy_or_None): as :func:`_fast3_ops`
     plus an optional cheaper inner op for sloppy CG iterations (the
     QEX sloppySolve mixed-precision role; pair with the full-precision
@@ -211,6 +211,12 @@ def _fast3_ops_sloppy(f3):
     can slot in without touching the solve drivers."""
     from . import stag_fast as sfst
     from .stag_solve import _use_pallas
+    from .stag_shard import mesh_usable, ops16
+    if mesh_usable(mesh, f3.lat, naik=True):
+        # explicit shard_map kernel route (multi-chip Pallas,
+        # SolverParams.mesh); dist-3 halos handled by the fixup
+        ee, dd = ops16(mesh, f3)
+        return ee, dd, None
     if _use_pallas(f3.lat):
         from . import stag_pallas_hisq as sph
         if sph.fits(f3.lat):
@@ -283,7 +289,7 @@ class HisqFermion:
                 # lane-packed fast layout brackets the Krylov solve
                 from . import stag_fast as sfst
                 f3 = sfst.new_fast3(s3)
-                ee, _, ee_b = _fast3_ops_sloppy(f3)
+                ee, _, ee_b = _fast3_ops_sloppy(f3, getattr(sp, 'mesh', None))
                 op = lambda v: ee(v, self.m)
                 op_true, floor = None, 1e-12
                 if getattr(sp, "sloppy", False) and ee_b is not None:
@@ -340,7 +346,7 @@ class HisqFermion:
         if self.lat.nd == 4:
             from . import stag_fast as sfst
             f3 = sfst.new_fast3(s3)
-            _, base = _fast3_ops(f3)
+            _, base = _fast3_ops(f3, self.params.mesh)
             xs, stats = cgm.cg_multishift(base,
                                           sfst.to_fast(b_e, self.lat),
                                           shifts,

@@ -256,6 +256,93 @@ def d2dd_sharded(lm: LatticeMesh, ps: sp3.PallasStagEO3,
     return fn(ps.l_e, ps.l_o, x_split)
 
 
+# --- complex-vector op factories (the _fast_ops analog for a mesh) ----------
+
+def _rdt(v):
+    return jnp.finfo(v.dtype).dtype
+
+
+def mesh_usable(lm: LatticeMesh | None, lat: Lattice,
+                naik: bool = False) -> bool:
+    """True when the shard_map kernel path supports this mesh/lattice:
+    x/y unsharded, even local Z, packed-t divisible; dist-3 (naik)
+    additionally needs local Z >= 3 and local Th >= 2."""
+    if lm is None or lat.nd != 4:
+        return False
+    sizes = [lm.mesh.shape[a] for a in lm.mesh.axis_names]
+    if sizes[0] != 1 or sizes[1] != 1:
+        return False
+    if lat.dims[2] % sizes[2] or (lat.dims[2] // sizes[2]) % 2:
+        return False
+    if (lat.dims[3] // 2) % sizes[3]:
+        return False
+    if naik:
+        if lat.dims[2] // sizes[2] < 3:
+            return False
+        if (lat.dims[3] // 2) // sizes[3] < 2:
+            return False
+    return True
+
+
+def ops8(lm: LatticeMesh, fs, links_dtype=None, use_pallas=None,
+         interpret: bool = False):
+    """(d2ee(v, m), d2dd(v)) on COMPLEX fast-layout vectors through the
+    shard_map kernel path -- drop-in for the single-device operator
+    callables in the solve drivers (stag_hmc._fast_ops role)."""
+    if links_dtype is None:
+        links_dtype = (jnp.float32 if jax.default_backend() == "tpu"
+                       else None)
+    lat = fs.lat
+
+    def mk(ld):
+        p = sp3.new_pallas3(fs, links_dtype=ld)
+        return sp3.PallasStagEO3(lat, shard_links(lm, p.l_e),
+                                 shard_links(lm, p.l_o))
+
+    ps = mk(links_dtype if links_dtype is not None else jnp.float64)
+
+    def ee(v, m):
+        y = d2ee_sharded(lm, ps, _split(v, _rdt(v)), m,
+                         use_pallas=use_pallas, interpret=interpret)
+        return (y[0] + 1j * y[1]).astype(v.dtype)
+
+    def dd(v):
+        y = d2dd_sharded(lm, ps, _split(v, _rdt(v)), 0,
+                         use_pallas=use_pallas, interpret=interpret)
+        return (y[0] + 1j * y[1]).astype(v.dtype)
+
+    return ee, dd
+
+
+def ops16(lm: LatticeMesh, f3, links_dtype=None, use_pallas=None,
+          interpret: bool = False):
+    """(d2ee3(v, m), d2dd3(v)) on COMPLEX fast-layout vectors through
+    the sharded 16-term HISQ kernel (stag_hmc._fast3_ops role)."""
+    from . import stag_pallas_hisq as sph
+
+    if links_dtype is None:
+        links_dtype = (jnp.float32 if jax.default_backend() == "tpu"
+                       else None)
+    lat = f3.lat
+    p = sph.new_pallas_hisq(
+        f3, links_dtype=(links_dtype if links_dtype is not None
+                         else jnp.float64))
+    ps = sph.PallasStag3EO(lat, shard_links3(lm, p.l_e),
+                           shard_links3(lm, p.l_o))
+
+    def ee(v, m):
+        y = d2ee3_sharded(lm, ps, _split(v, _rdt(v)), m,
+                          use_pallas=use_pallas, interpret=interpret)
+        return (y[0] + 1j * y[1]).astype(v.dtype)
+
+    def dd(v):
+        y = d2dd3_sharded(lm, ps, _split(v, _rdt(v)), 0,
+                          use_pallas=use_pallas, interpret=interpret)
+        return (y[0] + 1j * y[1]).astype(v.dtype)
+
+    return ee, dd
+
+
 # --- fat + naik (HISQ) 16-term sharded operator ------------------------------
 #
 # Same structure for the stag_pallas_hisq kernel: local-periodic 16-term

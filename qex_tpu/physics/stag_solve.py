@@ -57,6 +57,22 @@ def solve_ee(s: st.StaggeredEO, b_e: jax.Array, m: float,
         bf = sf.to_fast(b_e, s.lat)
         op_true = None
         floor = 1e-12
+        from . import stag_shard as sh
+        if sh.mesh_usable(params.mesh, s.lat):
+            # explicit shard_map kernel route (multi-chip Pallas;
+            # SolverParams.mesh = the QEX backend-switch analog)
+            ee, _ = sh.ops8(params.mesh, fs)
+            op = lambda v: ee(v, m)
+            if params.sloppy and jax.default_backend() == "tpu":
+                eeb, _ = sh.ops8(params.mesh, fs,
+                                 links_dtype=jnp.bfloat16)
+                op_true, floor = op, 1e-5
+                op = lambda v: eeb(v, m)
+            xf, stats = cg.cg_solve_restarted(
+                op, bf, r2req=params.r2req, maxits=params.maxits,
+                restarts=params.restarts, op_true=op_true,
+                inner_r2req_floor=floor)
+            return sf.from_fast(xf, s.lat), stats
         if _use_pallas(s.lat):
             # v3 (pre-shifted links, full-Z blocks, manual link DMA,
             # 672 B/site) when it fits VMEM; z-blocked v1 otherwise
@@ -145,7 +161,13 @@ def solve_multi(s: st.StaggeredEO, b_e: jax.Array, masses: list[float],
         from . import stag_fast as sf
         fs = sf.new_fast(s)
         base_sloppy = None
-        if _use_pallas(s.lat):
+        from . import stag_shard as sh
+        if sh.mesh_usable(params.mesh, s.lat):
+            _, base = sh.ops8(params.mesh, fs)
+            if params.sloppy and jax.default_backend() == "tpu":
+                _, base_sloppy = sh.ops8(params.mesh, fs,
+                                         links_dtype=jnp.bfloat16)
+        elif _use_pallas(s.lat):
             from . import stag_pallas3 as sp3
             if sp3.fits(s.lat):
                 ps = sp3.new_pallas3(fs)

@@ -32,6 +32,12 @@ class SolverParams:
     verbose: bool = False
     sloppy: bool = False   # bf16-link inner solves + full-precision
     #                        true-residual restarts (QEX sloppySolve)
+    # Optional parallel.mesh.LatticeMesh: route staggered solves
+    # through the explicit shard_map kernel path
+    # (physics/stag_shard.py) -- the multi-chip Pallas route.  The
+    # QEX analog is the per-solve backend switch
+    # (solverBase.nim:6,50-52).  Hashable, so still jit-static.
+    mesh: object | None = None
 
 
 @jax.tree_util.register_pytree_node_class

@@ -177,3 +177,53 @@ def test_rank_geom_guard():
     lm = make_lattice_mesh(lat, rank_geom=(1, 2, 2, 2))
     with pytest.raises(ValueError, match="shards x/y"):
         sh.d2ee_sharded(lm, None, None, 0.1)
+
+
+def test_hmc_step_solverparams_mesh_route():
+    # SolverParams.mesh (the QEX backend-switch analog) routes the
+    # fermion/boson CG solves through the shard_map kernel operators
+    # INSIDE the jitted HMC step (custom_vjp forces, while_loop CG):
+    # same trajectory as the default route
+    from qex_tpu.gauge import action as ga
+    from qex_tpu.mcmc import (FermionSpec, GaugeActionSpec,
+                              LatticeFieldTheory)
+
+    lat = Lattice((4, 4, 8, 8))
+    lm = make_lattice_mesh(lat, devices=jax.devices()[:4],
+                           rank_geom=(1, 1, 2, 2))
+    key = jax.random.PRNGKey(31)
+    u = jnp.stack([
+        group.random_su(jax.random.fold_in(key, i), lat.dims, lat.nc, DT)
+        for i in range(lat.nd)])
+
+    def mk(mesh):
+        sp = SolverParams(r2req=1e-14, maxits=300, restarts=2, mesh=mesh)
+        return LatticeFieldTheory(
+            lat, GaugeActionSpec(ga.wilson(5.5), steps=4, scheme="2MN"),
+            fermions=[FermionSpec("fermion", 0.5, steps=2, scheme="2MN",
+                                  smeared=False),
+                      FermionSpec("boson", 0.8, steps=2, scheme="2MN",
+                                  smeared=False)],
+            smear=None, bc="pppa", solver_params=sp, tau=0.2)
+
+    k = jax.random.PRNGKey(6)
+    u1a, sta = jax.jit(lambda kk, uu: mk(None).hmc_step(kk, uu))(k, u)
+    u1b, stb = jax.jit(lambda kk, uu: mk(lm).hmc_step(kk, uu))(k, u)
+    assert float(stb.dH) == pytest.approx(float(sta.dH), abs=1e-7)
+    dev = float(linalg.norm2(jnp.asarray(u1b) - u1a))
+    assert dev < 1e-12 * float(linalg.norm2(u1a)), dev
+
+
+def test_fast3_ops_mesh_route(setup3):
+    # stag_hmc._fast3_ops(mesh=...) returns the sharded 16-term kernel
+    # operators (the HISQ action/multishift hot ops under a mesh)
+    from qex_tpu.physics.stag_hmc import _fast3_ops
+
+    lat, lm, s3, fs3, ps, ps_sh, xs = setup3
+    v = xs[0] + 1j * xs[1]
+    ee0, dd0 = _fast3_ops(fs3)
+    ee1, dd1 = _fast3_ops(fs3, lm)
+    a = jax.jit(lambda w: ee1(w, 0.1))(v)
+    assert _rel(a, ee0(v, 0.1)) < 1e-28
+    b = jax.jit(dd1)(v)
+    assert _rel(b, dd0(v)) < 1e-28
