@@ -156,6 +156,20 @@ def test_hisq_fattening_sharded_matches(setup):
     assert dev < 1e-20 * float(linalg.norm2(ll_ref)), dev
 
 
+def test_nhyp_smear_sharded_matches(setup):
+    # the production matter smearing (3-level nHYP with the
+    # Newton-Schulz U projection) under GSPMD: staples and projections
+    # cross shard boundaries
+    from qex_tpu.gauge.smear import HypCoefs, nhyp_smear
+
+    lat, lm, u, s, x_e = setup
+    f = jax.jit(lambda uu: nhyp_smear(HypCoefs(), lat, uu))
+    ref = f(u)
+    got = f(shard_field(lm, u, 3))
+    dev = float(linalg.norm2(jnp.asarray(got) - ref))
+    assert dev < 1e-24 * float(linalg.norm2(ref)), dev
+
+
 def test_wilson_solve_sharded_matches(setup):
     # the Wilson eo-CGNE driver (half-spinor fast layout inside) under
     # GSPMD: same Krylov trajectory and solution as replicated
