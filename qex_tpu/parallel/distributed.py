@@ -80,14 +80,17 @@ def global_mesh(lat: Lattice, rank_geom: Sequence[int] | None = None
 
 def make_global_field(lm: LatticeMesh, fill, n_site_axes: int,
                       global_shape: tuple[int, ...],
-                      dtype=jnp.complex64) -> jax.Array:
+                      dtype=jnp.complex64, spec=None) -> jax.Array:
     """Build a sharded global array from a callback.
 
     ``fill(index: tuple[slice,...]) -> np.ndarray`` returns the data of
     one global slice; each process only materializes its addressable
     shards.  This is the sharded-load analog of QIO's per-rank reads
-    (src/io/parallelIo.nim)."""
-    sh = NamedSharding(lm.mesh, field_spec(lm, n_site_axes))
+    (src/io/parallelIo.nim).  ``spec`` overrides the canonical field
+    PartitionSpec (e.g. stag_shard.links_spec for kernel link arrays).
+    """
+    sh = NamedSharding(lm.mesh, spec if spec is not None
+                       else field_spec(lm, n_site_axes))
     return jax.make_array_from_callback(global_shape, sh,
                                         lambda idx: np.asarray(
                                             fill(idx), dtype=dtype))

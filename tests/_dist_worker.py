@@ -53,4 +53,49 @@ y = dist.load_shards(ckpt, lm, 1)
 diff = float(norm2_sharded(lm, jax.jit(lambda a, b: a - b)(y, x)))
 assert diff == 0.0, diff
 
+# the shard_map kernel path ACROSS PROCESSES: ppermute halos ride the
+# gRPC cross-process collectives (the multi-host analog of the
+# reference's QMP halo channels, src/layout/shifts.nim:67-286)
+import jax.numpy as jnp  # noqa: E402
+
+from qex_tpu.ops import group, linalg  # noqa: E402
+from qex_tpu.physics import stag_fast as sfst  # noqa: E402
+from qex_tpu.physics import stag_pallas3 as sp3  # noqa: E402
+from qex_tpu.physics import stag_shard as shrd  # noqa: E402
+from qex_tpu.physics import staggered as stg  # noqa: E402
+
+lm2 = dist.global_mesh(lat, rank_geom=(1, 1, 2, NPROC * 4 // 2))
+key = jax.random.PRNGKey(7)  # identical links on every process
+u = jnp.stack([group.random_su(jax.random.fold_in(key, i), lat.dims,
+                               lat.nc, jnp.complex128)
+               for i in range(lat.nd)])
+s = stg.new_stag_eo(lat, u)
+fs = sfst.new_fast(s)
+ps = sp3.new_pallas3(fs, links_dtype=jnp.float64)
+le, lo = np.asarray(ps.l_e), np.asarray(ps.l_o)
+xs_np = rng.normal(size=(2, 3, lat.dims[3] // 2, lat.dims[2],
+                         lat.dims[1] * lat.dims[0]))
+
+le_g = dist.make_global_field(lm2, lambda i: le[i], 0, le.shape,
+                              np.float64, spec=shrd.links_spec(lm2))
+lo_g = dist.make_global_field(lm2, lambda i: lo[i], 0, lo.shape,
+                              np.float64, spec=shrd.links_spec(lm2))
+xs_g = dist.make_global_field(lm2, lambda i: xs_np[i], 0, xs_np.shape,
+                              np.float64, spec=shrd.vec_spec(lm2))
+# multi-process rule: global arrays must be jit ARGUMENTS (a captured
+# constant would need the full value on every process)
+got_v = jax.jit(lambda a, b, v: shrd.d2ee_sharded(
+    lm2, sp3.PallasStagEO3(lat, a, b), v, 0.1))(le_g, lo_g, xs_g)
+# reference on process-local replicated arrays, then compare globally
+xc = jnp.asarray(xs_np[0] + 1j * xs_np[1])
+ref = sfst.d2ee_fast(fs, xc, 0.1)
+ref_np = np.asarray(jnp.stack([jnp.real(ref), jnp.imag(ref)]))
+ref_g = dist.make_global_field(lm2, lambda i: ref_np[i], 0,
+                               ref_np.shape, np.float64,
+                               spec=shrd.vec_spec(lm2))
+dev = float(jax.jit(lambda a, b: linalg.norm2(a - b)
+                    / linalg.norm2(b))(got_v, ref_g))
+assert dev < 1e-28, dev
+print(f"dist worker {PID}/{NPROC} stencil ok: dev={dev:.3e}", flush=True)
+
 print(f"dist worker {PID}/{NPROC} ok: norm2={got:.6e}", flush=True)
