@@ -227,6 +227,56 @@ def main(argv=None) -> int:
         dt /= nch
         print(f"sharded dslash ({ndev} dev): {dt*1e3:9.2f} ms "
               f"{594*V/dt/1e9:7.1f} GF/s  (x{n})")
+
+        # the shard_map KERNEL path (stag_shard): eo normal operator
+        # with explicit ppermute surface fixups on a z/t mesh
+        from qex_tpu.physics import stag_fast as sfst
+        from qex_tpu.physics import stag_pallas3 as sp3
+        from qex_tpu.physics import stag_shard as shrd
+        from qex_tpu.physics import staggered as stg
+
+        Th, Z = lat.dims[3] // 2, lat.dims[2]
+        gzs = [d for d in range(1, ndev + 1)
+               if ndev % d == 0 and Z % d == 0 and (Z // d) % 2 == 0
+               and Th % (ndev // d) == 0]
+        if gzs:
+            gz = max(gzs)
+            lm2 = make_lattice_mesh(lat, rank_geom=(1, 1, gz, ndev // gz))
+
+            @jax.jit
+            def mk_links(uu):
+                s2 = stg.new_stag_eo(lat, uu)
+                p2 = sp3.new_pallas3(sfst.new_fast(s2))
+                return p2.l_e, p2.l_o
+
+            le, lo = mk_links(u)
+            le, lo = shrd.shard_links(lm2, le), shrd.shard_links(lm2, lo)
+            from qex_tpu.ops import eo as eomod
+
+            @jax.jit
+            def mk_vec(w):
+                we, _ = eomod.pack(w, lat.nd)
+                wf = sfst.to_fast(we, lat)
+                return jnp.stack([jnp.real(wf), jnp.imag(wf)]).astype(
+                    jnp.float32)
+
+            xs2 = shrd.shard_vec(lm2, mk_vec(v))
+
+            @jax.jit
+            def st_chain(a, b, xx):
+                p2 = sp3.PallasStagEO3(lat, a, b)
+
+                def body(x, _):
+                    w = shrd.d2ee_sharded(lm2, p2, x, 0.1)
+                    return (w / jnp.sqrt(jnp.sum(w * w))), None
+                xx, _ = jax.lax.scan(body, xx, None, length=nch)
+                return jnp.sum(xx * xx).astype(jnp.float32)
+
+            dt, n = _timeit(st_chain, le, lo, xs2, budget_s=args.budget)
+            dt /= nch
+            print(f"stencil d2ee ({lm2.rank_geom} mesh): "
+                  f"{dt*1e3:9.2f} ms {2*594*(V//2)/dt/1e9:7.1f} GF/s"
+                  f"  (x{n})")
     return 0
 
 
