@@ -30,3 +30,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Reset JAX's compiled-executable caches after each test module.
+
+    The XLA CPU JIT segfaulted twice compiling a late-module program
+    after ~250 accumulated compilations in one pytest process (same
+    crash site, passes in isolation) -- bounding the per-process
+    compiler state avoids that and the monotonically growing cache
+    memory.  Cross-module recompiles cost a few minutes over the whole
+    suite."""
+    yield
+    jax.clear_caches()

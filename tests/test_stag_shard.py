@@ -158,7 +158,7 @@ def test_solve_multi_sharded(setup3):
     b_e = sf.from_fast(xs[0] + 1j * xs[1], lat)
     out, stats = sh.solve_multi_sharded(
         lm, fs3, b_e, masses,
-        SolverParams(r2req=1e-24, maxits=400))
+        SolverParams(r2req=1e-24, maxits=4000))
     for m, x in zip(masses, out):
         r = st.d2ee3(s3, jnp.asarray(x), m) - b_e
         rel = float(linalg.norm2(r)) / float(linalg.norm2(b_e))
