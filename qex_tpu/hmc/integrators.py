@@ -87,15 +87,34 @@ def _fgi(lam: float = 1.0 / 6.0, xi: float = 1.0 / 72.0) -> Integrator:
 
 def _4mn3f1gp(lam: float = 0.2470939580390842) -> Integrator:
     """Omelyan 4th-order 3-force 1-gradient position version (QEX
-    '4MN3F1GP,0.2470939580390842').  Scheme: T(lam) V(1/2)
-    FG-correction folded into the middle V pair via xi(lam) =
-    (1 - 6 lam (1 - lam)) / 12 applied on the central T segment's
-    bracketing V updates -- implemented as T(lam) FG(1/2, xi/2)
-    T(1-2lam) FG(1/2, xi/2) T(lam)."""
-    xi = (1.0 - 6.0 * lam * (1.0 - lam)) / 12.0
+    '4MN3F1GP,0.2470939580390842'; Omelyan, Mryglod & Folk 2003).
+
+    Structure: T(rho) V(lam) T(1/2-rho) FG(1-2lam, xi) T(1/2-rho)
+    V(lam) T(rho) — 3 force evaluations + 1 gradient per step, T
+    outermost (position version).  The BCH tau^3 error of this
+    palindrome is alpha*[A,[A,B]] + beta*[B,[B,A]] with
+
+        alpha = -1/24 + lam (1-2 rho)^2 / 4
+        beta  =  1/12 - lam (1-lam) (1/2 - rho)   (before the FG term)
+
+    (derived by matrix-exponential BCH extraction, residual < 1e-19;
+    see tools/derive_fg_schemes.py).  The gradient kick can only
+    cancel the [B,[B,A]] part, so 4th order requires
+
+        rho = (1 - 1/sqrt(6 lam)) / 2      (alpha = 0)
+        xi  = 1/12 - lam (1-lam) (1/2-rho) (beta = 0; our FG sign
+              convention calibrated so Chin FGI's xi = 1/72)
+
+    The single MDevolve parameter is lam; its FUEL-f3g cross-check
+    'lambda = 0.2725431326761773 is a0 = 0.109' (stagag.nim:50)
+    satisfies lam = 1/(6 (1-2 a0)^2) exactly, confirming the
+    structure."""
+    rho = 0.5 * (1.0 - 1.0 / (6.0 * lam) ** 0.5)
+    xi = 1.0 / 12.0 - lam * (1.0 - lam) * (0.5 - rho)
     return Integrator("4MN3F1GP", (
-        ("T", lam), ("FG", 0.5, 0.5 * xi), ("T", 1.0 - 2.0 * lam),
-        ("FG", 0.5, 0.5 * xi), ("T", lam)))
+        ("T", rho), ("V", lam), ("T", 0.5 - rho),
+        ("FG", 1.0 - 2.0 * lam, xi), ("T", 0.5 - rho),
+        ("V", lam), ("T", rho)))
 
 
 def _scale_steps(steps, w):
