@@ -58,6 +58,15 @@ def main(argv=None) -> int:
                 for i in range(lat.nd)])
         u = hot(meta["parallel_seed"])
 
+    if meta.get("mesh") is not None:
+        # GSPMD-sharded chain over the deck's mpi-geometry rank split
+        # (mcmcTypes.nim:905-907 newLayout(lat, mpiGeometry))
+        from qex_tpu.parallel import shard_field
+        lm = meta["mesh"]
+        u = shard_field(lm, u, 3)
+        print(f"# device mesh rank_geom={lm.rank_geom} "
+              f"({len(lm.mesh.devices.flat)} devices)")
+
     step = jax.jit(lambda k, uu, warm: theory.hmc_step(
         k, uu, always_accept=warm))
     meas = jax.jit(lambda uu: (

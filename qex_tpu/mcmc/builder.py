@@ -47,12 +47,19 @@ def _gauge_coeffs(g: dict) -> ga.GaugeActionCoeffs:
     raise ValueError(f"unknown gauge action {g.get('action')!r}")
 
 
-def theory_from_json(src: str | dict) -> tuple[Lattice,
-                                               LatticeFieldTheory, dict]:
+def theory_from_json(src: str | dict, mesh_to_solver: bool | None = None
+                     ) -> tuple[Lattice, LatticeFieldTheory, dict]:
     """Build (lattice, theory, meta) from a reference-format JSON deck.
 
     ``meta`` carries hmc-section info the driver needs (trajectory
-    length, seeds, start, flow configs).
+    length, seeds, start, flow configs) plus ``meta["mesh"]``: a
+    LatticeMesh built from the deck's ``hmc["mpi-geometry"]`` rank
+    split (mcmcTypes.nim:905-907) or None.  With a mesh,
+    ``mesh_to_solver`` routes the staggered solves through the
+    shard_map Pallas kernels (stag_shard); default None = only on
+    TPU, where the fused kernels need explicit sharding (on CPU the
+    GSPMD XLA path is the fast one -- same policy as
+    apps/staghmc_spv.py).
     """
     if isinstance(src, str):
         with open(src) as f:
@@ -100,10 +107,25 @@ def theory_from_json(src: str | dict) -> tuple[Lattice,
                     hmasses=tuple(e.get("hasenbusch-masses", ())),
                 ))
 
+    lm = None
+    if hmc.get("mpi-geometry"):
+        import math
+
+        import jax
+
+        from ..parallel import make_lattice_mesh
+        rg = tuple(int(x) for x in hmc["mpi-geometry"])
+        lm = make_lattice_mesh(lat, devices=jax.devices()[:math.prod(rg)],
+                               rank_geom=rg)
+        if mesh_to_solver is None:
+            mesh_to_solver = jax.devices()[0].platform != "cpu"
+
     solver = cfg.get("solver", {})
     sp = SolverParams(r2req=float(solver.get("tolerance", 1e-12)),
                       maxits=int(solver.get("max-iterations", 2000)),
-                      restarts=int(solver.get("restarts", 3)))
+                      restarts=int(solver.get("restarts", 3)),
+                      mesh=(lm if (lm is not None and mesh_to_solver)
+                            else None))
 
     theory = LatticeFieldTheory(lat, gauge, fermions, smear=smear,
                                 bc=bc, solver_params=sp, tau=tau)
@@ -113,5 +135,6 @@ def theory_from_json(src: str | dict) -> tuple[Lattice,
         "parallel_seed": int(hmc.get("parallel-random-number-seed", 0)),
         "start": hmc.get("start", "cold"),
         "flow": cfg.get("flow", {}),
+        "mesh": lm,
     }
     return lat, theory, meta

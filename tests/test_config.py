@@ -4,6 +4,7 @@ decks, CLI params, JSON theory builder."""
 import json
 import textwrap
 
+import numpy as np
 import pytest
 
 from qex_tpu.utils.config import FlowConfig, HMCConfig
@@ -129,3 +130,38 @@ def test_flow_xml():
     c = FlowConfig.from_xml(path)
     assert c.ns == 8 and c.nt == 8
     assert len(c.segments) == 2
+
+
+def test_json_builder_mpi_geometry():
+    """Deck 'mpi-geometry' (mcmcTypes.nim:905-907) builds the device
+    mesh; with mesh_to_solver the solves route through stag_shard, and
+    one sharded gauge-only HMC step matches the replicated one."""
+    import jax
+    import jax.numpy as jnp
+
+    from qex_tpu.mcmc.builder import theory_from_json
+    from qex_tpu.ops import group
+    from qex_tpu.parallel import shard_field
+
+    deck = {
+        "hmc": {"lattice-geometry": [4, 4, 4, 8],
+                "mpi-geometry": [1, 1, 2, 4],
+                "trajectory-length": 0.4},
+        "gauge": {"action": "Wilson", "beta": 5.6, "steps": 6,
+                  "integrator": "2MN"},
+    }
+    lat, theory, meta = theory_from_json(deck, mesh_to_solver=False)
+    lm = meta["mesh"]
+    assert lm is not None and lm.rank_geom == (1, 1, 2, 4)
+    assert theory.solver_params.mesh is None  # mesh_to_solver=False
+
+    u = group.unit_gauge(lat, jnp.complex128)
+    key = jax.random.PRNGKey(3)
+    step = jax.jit(lambda k, uu: theory.hmc_step(k, uu,
+                                                 always_accept=True))
+    u1, st1 = step(key, u)
+    us = shard_field(lm, u, 3)
+    u2, st2 = step(key, us)
+    assert abs(float(st1.dH) - float(st2.dH)) < 1e-10
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2),
+                               atol=1e-12)
