@@ -177,6 +177,91 @@ def _fgi6() -> Integrator:
     return _compose(_fgi(), w, "FGI6")
 
 
+# --- minimum-norm force-gradient family (MDevolve structure names) ---------
+#
+# The names encode the structure: <order>MN<forces>F<gradients>G +
+# V(elocity, kicks outermost-adjacent) / P(osition, T outermost).
+# MDevolve's exact parameter tables are not available (external Nim
+# package); these coefficients are OUR OWN minimum-norm solutions of
+# the BCH order conditions for the named structure: the two tau^3
+# conditions are solved exactly and the leftover parameters minimize
+# the Euclidean norm of the six tau^5 error coefficients (the Omelyan,
+# Mryglod & Folk 2003 criterion).  Derivation + verification:
+# tools/derive_fg_schemes.py (--verify re-checks every scheme's alpha,
+# beta < 1e-9 against an independent matrix-BCH extraction).  tau^5
+# norms: 4MN5F2GP 3.1e-6, 4MN5F2GV 2.1e-5, 4MN5F1GP 4.2e-5,
+# 4MN4F2GV 5.2e-5, 4MN5F1GV 7.0e-5 (Chin FGI for scale: 8.2e-4).
+
+def _4mn5f1gv() -> Integrator:
+    """4th order, 5 forces + 1 gradient, velocity:
+    V(b1) T(a1) V(b2) T(a2) FG(mid, xi) ... palindrome."""
+    b1, b2 = 0.0660203679887196, 0.2427151723997158
+    a1, xi = 0.1780262651989206, 0.0036409744971369
+    a2, mid = 0.5 - a1, 1.0 - 2 * b1 - 2 * b2
+    return Integrator("4MN5F1GV", (
+        ("V", b1), ("T", a1), ("V", b2), ("T", a2), ("FG", mid, xi),
+        ("T", a2), ("V", b2), ("T", a1), ("V", b1)))
+
+
+def _4mn5f1gp() -> Integrator:
+    """4th order, 5 forces + 1 gradient, position:
+    T(a1) V(b1) T(a2) V(b2) T(a3) FG(mid, xi) ... palindrome."""
+    b1, b2 = 0.1357903417483944, 0.1830682445958390
+    a1, a2 = 0.0545339166207803, 0.1619003849858022
+    xi = 0.0027471017840335
+    a3, mid = 0.5 - a1 - a2, 1.0 - 2 * b1 - 2 * b2
+    return Integrator("4MN5F1GP", (
+        ("T", a1), ("V", b1), ("T", a2), ("V", b2), ("T", a3),
+        ("FG", mid, xi), ("T", a3), ("V", b2), ("T", a2), ("V", b1),
+        ("T", a1)))
+
+
+def _4mn4f2gv() -> Integrator:
+    """4th order, 4 forces + 2 gradients, velocity (gradients on the
+    inner kick pair): V(b1) T(a1) FG T(mid) FG T(a1) V(b1)."""
+    b1, a1, xi = 0.0868623046875, 0.2802464459318679, 0.0030832844148661
+    return Integrator("4MN4F2GV", (
+        ("V", b1), ("T", a1), ("FG", 0.5 - b1, xi),
+        ("T", 1.0 - 2 * a1), ("FG", 0.5 - b1, xi), ("T", a1),
+        ("V", b1)))
+
+
+def _4mn4f2gvg() -> Integrator:
+    """4th order, 4 forces + 2 gradients, gradients on the OUTER kicks
+    (the 'GVG' kick pattern): FG(b1) T(a1) V T(mid) V T(a1) FG(b1)."""
+    b1, a1, xi = 0.0770031731128692, 0.2697979014179325, 0.0033036389054911
+    return Integrator("4MN4F2GVG", (
+        ("FG", b1, xi), ("T", a1), ("V", 0.5 - b1),
+        ("T", 1.0 - 2 * a1), ("V", 0.5 - b1), ("T", a1),
+        ("FG", b1, xi)))
+
+
+def _4mn5f2gv() -> Integrator:
+    """4th order, 5 forces + 2 gradients, velocity:
+    V(b1) T(a1) FG(b2, xi) T(a2) V(mid) ... palindrome."""
+    b1, b2 = 0.0745196046493946, 0.3272117295116190
+    a1, xi = 0.2346639132742014, 0.0016888288416746
+    a2, mid = 0.5 - a1, 1.0 - 2 * b1 - 2 * b2
+    return Integrator("4MN5F2GV", (
+        ("V", b1), ("T", a1), ("FG", b2, xi), ("T", a2), ("V", mid),
+        ("T", a2), ("FG", b2, xi), ("T", a1), ("V", b1)))
+
+
+def _4mn5f2gp() -> Integrator:
+    """4th order, 5 forces + 2 gradients, position (the scheme family
+    of QEX's puregauge2du1.nim:203 default):
+    T(a1) V(b1) T(a2) FG(b2, xi) T(a3) V(mid) ... palindrome.
+    The best tau^5 norm of the whole derived family (3.1e-6)."""
+    b1, b2 = 0.1639932526262120, 0.1989450975161530
+    a1, a2 = 0.0702294143078926, 0.1906368848044054
+    xi = 0.0009530169558621
+    a3, mid = 0.5 - a1 - a2, 1.0 - 2 * b1 - 2 * b2
+    return Integrator("4MN5F2GP", (
+        ("T", a1), ("V", b1), ("T", a2), ("FG", b2, xi), ("T", a3),
+        ("V", mid), ("T", a3), ("FG", b2, xi), ("T", a2), ("V", b1),
+        ("T", a1)))
+
+
 _REGISTRY: dict[str, Callable[..., Integrator]] = {
     "LF": _lf,
     "LEAPFROG": _lf,
@@ -187,27 +272,29 @@ _REGISTRY: dict[str, Callable[..., Integrator]] = {
     "4MN5FP": _4mn5fp,
     "FGI": _fgi,
     "4MN3F1GP": _4mn3f1gp,
+    "4MN5F1GV": _4mn5f1gv,
+    "4MN5F1GP": _4mn5f1gp,
+    "4MN4F2GV": _4mn4f2gv,
+    "4MN4F2GVG": _4mn4f2gvg,
+    "4MN5F2GV": _4mn5f2gv,
+    "4MN5F2GP": _4mn5f2gp,
     "YOSHIDA4": _yoshida4,
     "YOSHIDA6": _yoshida6,
     "S7ODR6": _s7odr6,
     "FGI6": _fgi6,
 }
 
-# MDevolve-only names (integrator.nim:32-60 factory accepts them; the
-# coefficient tables live in the external MDevolve Nim package, not in
-# the reference tree, and are not available here).  Each maps to a
+# Remaining MDevolve-only names with no same-structure implementation
+# here (integrator.nim:32-60 factory accepts them; the coefficient
+# tables live in the external MDevolve Nim package).  Each maps to a
 # published scheme of the SAME order and force/gradient character --
-# genuinely symplectic and order-verified (tests/test_stag_hmc.py) --
-# but NOT the exact MDevolve minimum-norm coefficient set, so
-# ``get_integrator`` warns loudly whenever one is requested.
+# genuinely symplectic and order-verified -- but a different
+# structure, so ``get_integrator`` warns loudly whenever one is
+# requested.  (The 4MN*G names above are NOT aliases: they implement
+# the named structure exactly, with self-derived minimum-norm
+# parameters.)
 _ALIASES: dict[str, tuple[str, Callable[..., Integrator]]] = {
     "6MN7FV": ("S7ODR6 (Yoshida 6th order, 7-stage velocity)", _s7odr6),
-    "4MN4F2GVG": ("FGI (Chin 4th-order force-gradient)", _fgi),
-    "4MN4F2GV": ("FGI (Chin 4th-order force-gradient)", _fgi),
-    "4MN5F1GV": ("FGI (Chin 4th-order force-gradient)", _fgi),
-    "4MN5F1GP": ("4MN3F1GP (Omelyan 4th-order FG position)", _4mn3f1gp),
-    "4MN5F2GV": ("FGI (Chin 4th-order force-gradient)", _fgi),
-    "4MN5F2GP": ("4MN3F1GP (Omelyan 4th-order FG position)", _4mn3f1gp),
     "6MN5F3GP": ("FGI6 (triple-jump Chin, 6th order w/ gradients)",
                  _fgi6),
 }

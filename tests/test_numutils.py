@@ -73,14 +73,40 @@ def test_cspline_validation():
 
 def test_mdevolve_alias_names_accepted():
     """Every name the reference factory (integrator.nim:32-60) accepts
-    must resolve here too."""
+    must resolve here too.  The 4MN*G structure names are now genuine
+    implementations (tools/derive_fg_schemes.py) and must NOT warn;
+    only 6MN7FV / 6MN5F3GP remain warned substitutes."""
+    import warnings as _w
+
     from qex_tpu.hmc import integrators
     for name in ("2MN", "4MN5FP", "4MN5FV", "6MN7FV", "4MN3F1GP",
                  "4MN4F2GVG", "4MN4F2GV", "4MN5F1GV", "4MN5F1GP",
                  "4MN5F2GV", "4MN5F2GP", "6MN5F3GP"):
-        sch = integrators.get_integrator(name)
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            sch = integrators.get_integrator(name)
+        warned = any("MDevolve" in str(r.message) for r in rec)
+        assert warned == (name in ("6MN7FV", "6MN5F3GP")), name
         # symplectic sanity: T and V coefficients each sum to 1
         tsum = sum(s[1] for s in sch.steps if s[0] == "T")
         vsum = sum(s[1] for s in sch.steps if s[0] in ("V", "FG"))
         assert abs(tsum - 1.0) < 1e-12, name
         assert abs(vsum - 1.0) < 1e-12, name
+
+
+def test_fg_family_order4():
+    """Each derived minimum-norm FG scheme is genuinely 4th order:
+    |dH| per trajectory drops ~16x per dt halving on the U(1) model."""
+    import jax
+
+    from qex_tpu.models import u1
+    th = u1.random_field(jax.random.PRNGKey(21), (2, 8, 8))
+    for name in ("4MN5F1GV", "4MN5F1GP", "4MN4F2GV", "4MN4F2GVG",
+                 "4MN5F2GV", "4MN5F2GP"):
+        def dh(steps):
+            _, s = u1.hmc_step(jax.random.PRNGKey(2), th, 1.0,
+                               tau=1.0, steps=steps, scheme=name)
+            return abs(float(s["dH"]))
+
+        r = dh(3) / max(dh(6), 1e-300)
+        assert r > 8.0, (name, r)
