@@ -247,3 +247,29 @@ def load_gauge(path: str, lat: Lattice, dtype=None):
     else:
         arr = arr.astype("c8" if fdtype == ">c8" else "c16")
     return arr
+
+
+def file_lattice(path: str) -> tuple[int, ...]:
+    """Lattice dimensions recorded in a SciDAC/ILDG file (QEX
+    ``getFileLattice``, io/qio.nim / stdUtils): parses the
+    scidac-private-file-xml <dims> record, falling back to the
+    ildg-format <lx>..<lt> fields."""
+    import re
+
+    recs = {r.type: r for r in read_lime(path)}
+    pf = recs.get("scidac-private-file-xml")
+    if pf is not None:
+        m = re.search(rb"<dims>([\d\s]+)</dims>", pf.data)
+        if m:
+            return tuple(int(x) for x in m.group(1).split())
+    fmt = recs.get("ildg-format")
+    if fmt is not None:
+        ds = []
+        for tag in (b"lx", b"ly", b"lz", b"lt"):
+            m = re.search(rb"<" + tag + rb">(\d+)</" + tag + rb">",
+                          fmt.data)
+            if m:
+                ds.append(int(m.group(1)))
+        if ds:
+            return tuple(ds)
+    raise ValueError(f"no lattice dimensions found in {path}")

@@ -148,3 +148,25 @@ def test_timeslice_roundtrip(tmp_path, lat, u):
         back = timeslice.read_timeslice(p, lat, (3, 3), t,
                                         precision="D")
         assert np.abs(back[..., 0] - arr[..., t]).max() < 1e-15
+
+
+def test_file_lattice_and_lat_util(tmp_path):
+    """file_lattice (getFileLattice role) + the checklat/fieldCmp
+    utility app surface."""
+    import jax.numpy as jnp
+
+    from qex_tpu.apps import lat_util
+    from qex_tpu.io import lime
+    from qex_tpu.lattice import Lattice
+    from qex_tpu.ops import group
+
+    lat = Lattice((4, 4, 4, 8))
+    u = group.unit_gauge(lat, jnp.complex64)
+    f1 = str(tmp_path / "a.lime")
+    f2 = str(tmp_path / "b.lime")
+    lime.save_gauge(f1, lat, u)
+    lime.save_gauge(f2, lat, u + 1e-3 * jnp.ones_like(u))
+    assert lime.file_lattice(f1) == (4, 4, 4, 8)
+    assert lat_util.main(["check", f1]) == 0
+    assert lat_util.main(["cmp", f1, f1]) == 0
+    assert lat_util.main(["cmp", f1, f2]) == 1
