@@ -170,3 +170,33 @@ def test_file_lattice_and_lat_util(tmp_path):
     assert lat_util.main(["check", f1]) == 0
     assert lat_util.main(["cmp", f1, f1]) == 0
     assert lat_util.main(["cmp", f1, f2]) == 1
+
+
+def test_milc_roundtrip(tmp_path):
+    """MILC single-file codec (src/new/milcIO.nim roles): round-trip,
+    header dims, rotated-xor checksum detects corruption."""
+    import jax
+
+    from qex_tpu.io import milc
+    from qex_tpu.lattice import Lattice
+    from qex_tpu.ops import group
+
+    lat = Lattice((4, 4, 4, 8))
+    u = np.asarray(jnp.stack([
+        group.random_su(jax.random.PRNGKey(i), lat.dims, lat.nc,
+                        jnp.complex64) for i in range(4)]))
+    fn = str(tmp_path / "lat.milc")
+    milc.save_milc(fn, lat, u, timestamp="Tue Aug 18 00:00:00 2026")
+    arr, ts = milc.load_milc(fn)
+    assert ts == "Tue Aug 18 00:00:00 2026"
+    np.testing.assert_allclose(arr, u, atol=1e-7)
+    # header-declared dims win
+    assert milc.load_milc(fn, Lattice((4, 4, 4, 8)))[0].shape \
+        == u.shape
+    # corrupt one payload byte -> checksum must catch it
+    blob = bytearray(open(fn, "rb").read())
+    blob[200] ^= 0xFF
+    fn2 = str(tmp_path / "bad.milc")
+    open(fn2, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="checksum"):
+        milc.load_milc(fn2)
