@@ -277,3 +277,28 @@ def test_hand_staple_force_matches_ad(lat, u, coeffs):
     g_h = ga.gauge_grad(coeffs, lat, u)
     np.testing.assert_allclose(np.asarray(jnp.max(jnp.abs(g_ad - g_h))),
                                0.0, atol=1e-12)
+
+
+def test_derived_fg_schemes_gauge_order(lat, u):
+    """The self-derived minimum-norm FG schemes (4MN5F2GP best, plus
+    one velocity variant) hold 4th order on the SU(3) gauge action
+    through the production integrate() path with exact jvp kicks."""
+    from functools import partial
+    c = ga.wilson(5.0)
+    act = partial(ga.full_action, c, lat)
+    frc = partial(ga.gauge_force, c, lat)
+    p = rand_tah_gauge(jax.random.PRNGKey(77), lat)
+    h0 = float(hmc.kinetic_energy(p) + act(u))
+
+    for name in ("4MN5F2GP", "4MN4F2GV"):
+        sch = integrators.get_integrator(name)
+
+        def dh(nsteps):
+            u1, p1 = integrators.integrate(sch, u, p, 1.0, nsteps,
+                                           frc, hmc.gauge_update_u)
+            return float(hmc.kinetic_energy(p1) + act(u1)) - h0
+
+        # steps 3 is outside the asymptotic regime for these very
+        # small-c5 schemes (dH changes sign); compare 4 vs 8
+        d4, d8 = dh(4), dh(8)
+        assert abs(d8) < abs(d4) / 8.0, (name, d4, d8)
