@@ -214,15 +214,18 @@ def main(argv=None) -> int:
         hisq_multishift("CONFIG5 24^3x48", lat, fl, ll, 5)
 
     if 6 in args.configs:
-        # headline-volume kernel point: synthetic SU(3) fat/long links
-        # stand in for the fattening (multishift time is independent of
-        # link provenance; the real 32^4 fattening needs the mesh)
+        # headline-volume point with the REAL two-level fattening: the
+        # MGS Haar sampler (no padded batched QR) + hisq_links_lowmem's
+        # per-direction jits fit 32^4 on one v5e chip (exp_fat32.py:
+        # fatten 295 s incl. remote compiles, warm 4-mass multishift
+        # 0.77 s / 318 its / rel_r2 4e-9)
+        from qex_tpu.gauge.fat7 import hisq_links_lowmem
+        from qex_tpu.physics import staggered as stg
         lat = Lattice((32, 32, 32, 32))
-        fl = hot(lat, seed=61)
-        # ~naik-coefficient-sized long links (eager ops unsupported on
-        # the tunneled chip: scale inside jit)
-        ll = jax.jit(lambda uu: 0.1 * uu)(hot(lat, seed=62))
-        hisq_multishift("CONFIG6 32^4 (synthetic links)", lat, fl, ll, 6)
+        u = hot(lat, seed=61)
+        phase = jax.jit(lambda uu: stg.phase_links(lat, uu))
+        fl, ll = hisq_links_lowmem(lat, phase(u))
+        hisq_multishift("CONFIG6 32^4 (real HISQ links)", lat, fl, ll, 6)
 
     return 0
 

@@ -59,14 +59,29 @@ def main():
         return fs.g_e, fs.g_o, ps.l_e, ps.l_o
 
     ge_f, go_f, l_e, l_o = build(g)
-    fs = sf.FastStagEO(lat, ge_f, go_f)
-    ps = sp3.PallasStagEO3(lat, l_e, l_o)
     m = 0.1
 
-    f_fast = jax.jit(lambda v: sf.d2ee_fast(fs, v[0] + 1j * v[1], m))
-    f_shard = jax.jit(lambda v: sh.d2ee_sharded(lm, ps, v, m,
-                                                use_pallas=True))
-    f_plain = jax.jit(lambda v: sp3.d2ee_pallas3(ps, v, m))
+    # links enter as jit ARGUMENTS: closure-captured device arrays
+    # become compile-time constants, which the axon tunnel cannot
+    # fetch back to host (UNIMPLEMENTED on non-scalar transfers)
+    @jax.jit
+    def f_fast_j(ge, go, v):
+        fs = sf.FastStagEO(lat, ge, go)
+        return sf.d2ee_fast(fs, v[0] + 1j * v[1], m)
+
+    @jax.jit
+    def f_shard_j(le, lo, v):
+        ps = sp3.PallasStagEO3(lat, le, lo)
+        return sh.d2ee_sharded(lm, ps, v, m, use_pallas=True)
+
+    @jax.jit
+    def f_plain_j(le, lo, v):
+        ps = sp3.PallasStagEO3(lat, le, lo)
+        return sp3.d2ee_pallas3(ps, v, m)
+
+    f_fast = lambda v: f_fast_j(ge_f, go_f, v)
+    f_shard = lambda v: f_shard_j(l_e, l_o, v)
+    f_plain = lambda v: f_plain_j(l_e, l_o, v)
 
     ref = f_fast(xs)
     got = f_shard(xs)
@@ -78,21 +93,22 @@ def main():
           float(jax.jit(lambda a, b: linalg.norm2(a - b)
                         / linalg.norm2(b))(got, gp)), flush=True)
 
-    # chain timing: shard_map-wrapped kernel vs plain kernel
-    def chain(f, v, n=50):
+    # chain timing: shard_map-wrapped kernel vs plain kernel.  Links
+    # are scan-carried jit arguments (not trace constants, see above).
+    def chain(f2, a, b, v, n=50):
         @jax.jit
-        def run(v):
+        def run(a, b, v):
             def body(c, _):
-                return f(c), None
+                return f2(a, b, c), None
             out, _ = jax.lax.scan(body, v, None, length=n)
             return linalg.norm2(out)
-        float(run(v))  # compile+warm
+        float(run(a, b, v))  # compile+warm
         t0 = time.perf_counter()
-        float(run(v))
+        float(run(a, b, v))
         return (time.perf_counter() - t0) / n
 
-    tp = chain(f_plain, xs)
-    tsh = chain(f_shard, xs)
+    tp = chain(f_plain_j, l_e, l_o, xs)
+    tsh = chain(f_shard_j, l_e, l_o, xs)
     gf = 2 * 594 * (lat.volume // 2) / 1e9
     print(f"plain kernel : {tp*1e3:.3f} ms/app  {gf/tp:.0f} GF/s",
           flush=True)
@@ -115,14 +131,21 @@ def main():
         return (fs3.gf_e, fs3.gf_o, fs3.gl_e, fs3.gl_o, ps3.l_e, ps3.l_o)
 
     a3 = build3(g)
-    fs3 = sf.FastStag3EO(lat, *a3[:4])
-    ps3 = sph.PallasStag3EO(lat, a3[4], a3[5])
-    f3_fast = jax.jit(lambda v: sf.d2ee3_fast(fs3, v[0] + 1j * v[1], m))
-    f3_shard = jax.jit(lambda v: sh.d2ee3_sharded(lm, ps3, v, m,
-                                                  use_pallas=True))
+
+    @jax.jit
+    def f3_fast_j(links, v):
+        fs3 = sf.FastStag3EO(lat, *links)
+        return sf.d2ee3_fast(fs3, v[0] + 1j * v[1], m)
+
+    @jax.jit
+    def f3_shard_j(le, lo, v):
+        ps3 = sph.PallasStag3EO(lat, le, lo)
+        return sh.d2ee3_sharded(lm, ps3, v, m, use_pallas=True)
+
     print("hisq shard-vs-fast rel dev:",
-          float(dev(f3_shard(xs), f3_fast(xs))), flush=True)
-    t3 = chain(f3_shard, xs)
+          float(dev(f3_shard_j(a3[4], a3[5], xs),
+                    f3_fast_j(a3[:4], xs))), flush=True)
+    t3 = chain(f3_shard_j, a3[4], a3[5], xs)
     gf3 = 2 * 1152 * (lat.volume // 2) / 1e9
     print(f"hisq shard_map: {t3*1e3:.3f} ms/app  {gf3/t3:.0f} GF/s",
           flush=True)

@@ -283,12 +283,15 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
         smear = jax.jit(transform)
 
         @jax.jit
-        def pullback_kick(u, p, chain):
+        def _pullback_whole(u, p, chain):
             _, vjp = jax.vjp(transform, u)
             (gu,) = vjp(chain)
             return finish_kick(u, p, gu)
 
-        return smear, add, chains, pullback_kick
+        def pullback_kick(u, p, chain, a1=None, a2=None):
+            return _pullback_whole(u, p, chain)
+
+        return smear, add, chains, pullback_kick, None
 
     split_proj = (len(transform_stages) in (2, 3)
                   and isinstance(transform_stages[0], tuple))
@@ -462,15 +465,19 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
     def smear(u):
         return j3(u, j2(u, j1(u)))
 
-    def pullback_kick(u, p, chain):
-        a1 = j1(u)
-        a2 = j2(u, a1)
+    def pullback_kick(u, p, chain, a1=None, a2=None):
+        # a1/a2 may be threaded from the kick's forward smear (the
+        # same-time chain evaluation) to skip recomputing j1/j2 here
+        if a1 is None:
+            a1 = j1(u)
+        if a2 is None:
+            a2 = j2(u, a1)
         gu3, ga2 = pb3(u, a2, chain)
         gu2, ga1 = pb2(u, a1, ga2)
         gu1 = pb1(u, ga1)
         return finish_kick(u, p, add(add(gu3, gu2), gu1))
 
-    return smear, add, chains, pullback_kick
+    return smear, add, chains, pullback_kick, (j1, j2, j3)
 
 
 def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
@@ -483,9 +490,9 @@ def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
     rdt = jnp.finfo(u0.dtype).dtype  # match scan-path precision
     upd = jax.jit(lambda u, p, dt: update_u(u, p, dt))
     kick_fns: dict[tuple, Any] = {}
-    smear = add = chains = pullback = None
+    smear = add = chains = pullback = stages = None
     if transform is not None:
-        smear, add, chains, pullback = _smeared_split_jits(
+        smear, add, chains, pullback, stages = _smeared_split_jits(
             terms, transform, transform_stages)
     u, p = u0, p0
     for dt, kicks in schedule:
@@ -496,12 +503,21 @@ def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
         shared = [(i, c) for (i, c, x) in kicks
                   if chains is not None and i in chains and x == 0.0]
         if shared:
-            v = smear(u)
+            if stages is not None:
+                # staged forward: keep a1/a2 for the pullback (skips
+                # recomputing the first two smear levels per kick)
+                j1, j2, j3 = stages
+                a1 = j1(u)
+                a2 = j2(u, a1)
+                v = j3(u, a2)
+            else:
+                a1 = a2 = None
+                v = smear(u)
             total = None
             for (i, c) in shared:
                 ci = chains[i](v, phis[i], jnp.asarray(c, rdt))
                 total = ci if total is None else add(total, ci)
-            p = pullback(u, p, total)
+            p = pullback(u, p, total, a1, a2)
         sig = tuple((i, x != 0.0) for (i, c, x) in kicks)
         if sig not in kick_fns:
             kick_fns[sig] = _kick_jit(terms, sig, update_u, transform)

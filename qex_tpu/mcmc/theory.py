@@ -161,10 +161,25 @@ class LatticeFieldTheory:
                     force_params=fp)
             elif spec.kind == "hisq":
                 # HISQ does its own (fat7+naik) smearing internally
+                spec = dataclasses.replace(spec, smeared=False)
+                if spec.hmasses:
+                    # Hasenbusch chain over the naik operator
+                    # (examples/hisqhmc_h.nim role)
+                    ms = (spec.mass,) + tuple(spec.hmasses)
+                    bases = [stag_hmc.HisqHasenbusch(
+                        lat, ms[j], ms[j + 1], self.bc,
+                        params=self.solver_params, force_params=fp)
+                        for j in range(len(ms) - 1)]
+                    bases.append(stag_hmc.HisqFermion(
+                        lat, ms[-1], bc=self.bc,
+                        params=self.solver_params, force_params=fp))
+                    for j, hb in enumerate(bases):
+                        self._add_matter_term(
+                            terms, hb, f"hisq{i}_h{j}", spec)
+                    continue
                 base = stag_hmc.HisqFermion(lat, spec.mass, bc=self.bc,
                                             params=self.solver_params,
                                             force_params=fp)
-                spec = dataclasses.replace(spec, smeared=False)
             else:
                 raise ValueError(f"unknown matter kind {spec.kind!r}")
             self._add_matter_term(terms, base,

@@ -77,19 +77,40 @@ def random_unitary(key: jax.Array, shape: tuple[int, ...], n: int,
     QR of a complex Ginibre ensemble with the R-diagonal phase fix
     (Mezzadri's algorithm).  Used for hot starts (QEX ``random`` gauge,
     gauge/gaugeUtils.nim `defaultSetup`/unit/random options).
+
+    For small n the QR is a modified Gram-Schmidt written directly in
+    the leading-matrix-axes layout: MGS with real-positive column norms
+    IS the unique QR with positive diag(R), i.e. the Mezzadri phase
+    convention, so the sample stays exactly Haar.  This matters on TPU:
+    batched ``jnp.linalg.qr`` places the (n, n) axes minor, and XLA
+    pads them to (8, 128) tiles -- a 57x HBM blowup that OOMs a 32^4
+    hot start (40 GB for a 36 MB field).  Elementwise MGS has no such
+    padding.  NOTE: different bitstream than the jnp.linalg.qr path.
     """
     rdtype = jnp.finfo(dtype).dtype
     kr, ki = jax.random.split(key)
     g = (jax.random.normal(kr, (n, n) + tuple(shape), rdtype)
          + 1j * jax.random.normal(ki, (n, n) + tuple(shape), rdtype))
     g = g.astype(dtype)
-    # batched QR wants trailing matrix axes
-    gm = jnp.moveaxis(g, (0, 1), (-2, -1))
-    q, r = jnp.linalg.qr(gm)
-    d = jnp.diagonal(r, axis1=-2, axis2=-1)
-    ph = d / jnp.abs(d)
-    q = q * ph[..., None, :]
-    return jnp.moveaxis(q, (-2, -1), (0, 1))
+    if n > 5:
+        # batched QR wants trailing matrix axes
+        gm = jnp.moveaxis(g, (0, 1), (-2, -1))
+        q, r = jnp.linalg.qr(gm)
+        d = jnp.diagonal(r, axis1=-2, axis2=-1)
+        ph = d / jnp.abs(d)
+        q = q * ph[..., None, :]
+        return jnp.moveaxis(q, (-2, -1), (0, 1))
+    # columns g[:, j] are length-n site vectors over the lattice axes
+    qcols: list[jax.Array] = []
+    for j in range(n):
+        v = g[:, j]
+        for qi in qcols:
+            # <q_i, v> per site, then v -= q_i <q_i, v>
+            ip = jnp.sum(jnp.conj(qi) * v, axis=0)
+            v = v - qi * ip
+        nrm = jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=0)).astype(dtype)
+        qcols.append(v / nrm)
+    return jnp.stack(qcols, axis=1)
 
 
 def random_su(key: jax.Array, shape: tuple[int, ...], n: int,

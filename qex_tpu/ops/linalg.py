@@ -181,8 +181,36 @@ def redot(x: jax.Array, y: jax.Array) -> jax.Array:
 
 # --- 3x3 (and general small-n) closed forms ---------------------------------
 
+def _minor(m: jax.Array, i: int, j: int) -> list[list[jax.Array]]:
+    """(n-1)x(n-1) minor of a matrix field as nested element lists."""
+    n = m.shape[0]
+    return [[m[a, b] for b in range(n) if b != j]
+            for a in range(n) if a != i]
+
+
+def _det_elems(rows: list[list[jax.Array]]) -> jax.Array:
+    """Determinant by Laplace expansion on nested element lists (keeps
+    everything elementwise over the lattice -- no padded batched LU)."""
+    n = len(rows)
+    if n == 1:
+        return rows[0][0]
+    if n == 2:
+        return rows[0][0] * rows[1][1] - rows[0][1] * rows[1][0]
+    out = None
+    for j in range(n):
+        sub = [[rows[a][b] for b in range(n) if b != j]
+               for a in range(1, n)]
+        term = rows[0][j] * _det_elems(sub)
+        if j % 2:
+            term = -term
+        out = term if out is None else out + term
+    return out
+
+
 def det(m: jax.Array) -> jax.Array:
-    """Per-site determinant for n in {1, 2, 3} via closed form."""
+    """Per-site determinant: closed form for n <= 5 (elementwise over
+    the lattice, TPU-friendly), batched LU above (multi_nc genericity,
+    reference src/maths/matinv.nim handles any static n)."""
     n = m.shape[0]
     if n == 1:
         return m[0, 0]
@@ -194,7 +222,10 @@ def det(m: jax.Array) -> jax.Array:
             - m[0, 1] * (m[1, 0] * m[2, 2] - m[1, 2] * m[2, 0])
             + m[0, 2] * (m[1, 0] * m[2, 1] - m[1, 1] * m[2, 0])
         )
-    raise NotImplementedError(f"det for n={n}")
+    if n <= 5:
+        return _det_elems([[m[i, j] for j in range(n)]
+                           for i in range(n)])
+    return jnp.linalg.det(jnp.moveaxis(m, (0, 1), (-2, -1)))
 
 
 def inv(m: jax.Array) -> jax.Array:
@@ -218,8 +249,15 @@ def inv(m: jax.Array) -> jax.Array:
             [((-1) ** (i + j)) * cof(j, i) for j in range(3)]
             for i in range(3)
         ]
+    elif n <= 5:
+        rows = [
+            [((-1) ** (i + j)) * _det_elems(_minor(m, j, i))
+             for j in range(n)]
+            for i in range(n)
+        ]
     else:
-        raise NotImplementedError(f"inv for n={n}")
+        mi = jnp.linalg.inv(jnp.moveaxis(m, (0, 1), (-2, -1)))
+        return jnp.moveaxis(mi, (-2, -1), (0, 1))
     adjugate = jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
     return adjugate / d
 

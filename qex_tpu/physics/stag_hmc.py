@@ -280,34 +280,40 @@ class HisqFermion:
         rel = linalg.norm2(op(x) - phi) / linalg.norm2(phi)
         return stats.iterations, rel
 
+    def solve_ee(self, u, b_e, sp=None, m=None):
+        """x_e = A3(m)^{-1} b_e via the fast/Pallas-routed CG."""
+        sp = self.params if sp is None else sp
+        m = self.m if m is None else m
+        fl, ll = self._links(u)
+        s3 = st.new_stag3_eo(self.lat, fl, ll)
+        from ..solvers import cg as cgmod
+        if self.lat.nd == 4:
+            # lane-packed fast layout brackets the Krylov solve
+            from . import stag_fast as sfst
+            f3 = sfst.new_fast3(s3)
+            ee, _, ee_b = _fast3_ops_sloppy(f3, getattr(sp, 'mesh', None))
+            op = lambda v: ee(v, m)
+            op_true, floor = None, 1e-12
+            if getattr(sp, "sloppy", False) and ee_b is not None:
+                # bf16-link inner iterations + f32 true-residual
+                # restarts (same recipe as stag_solve.solve_ee)
+                op_true, floor = op, 1e-5
+                op = lambda v: ee_b(v, m)
+            xf, _ = cgmod.cg_solve_restarted(
+                op, sfst.to_fast(b_e, self.lat),
+                r2req=sp.r2req, maxits=sp.maxits,
+                restarts=sp.restarts, op_true=op_true,
+                inner_r2req_floor=floor)
+            return sfst.from_fast(xf, self.lat)
+        op = lambda v: st.d2ee3(s3, v, m)
+        x, _ = cgmod.cg_solve_restarted(
+            op, b_e, r2req=sp.r2req, maxits=sp.maxits,
+            restarts=sp.restarts)
+        return x
+
     def make_action_fn(self) -> Callable:
         def solve_x(u, phi, sp):
-            fl, ll = self._links(u)
-            s3 = st.new_stag3_eo(self.lat, fl, ll)
-            from ..solvers import cg as cgmod
-            if self.lat.nd == 4:
-                # lane-packed fast layout brackets the Krylov solve
-                from . import stag_fast as sfst
-                f3 = sfst.new_fast3(s3)
-                ee, _, ee_b = _fast3_ops_sloppy(f3, getattr(sp, 'mesh', None))
-                op = lambda v: ee(v, self.m)
-                op_true, floor = None, 1e-12
-                if getattr(sp, "sloppy", False) and ee_b is not None:
-                    # bf16-link inner iterations + f32 true-residual
-                    # restarts (same recipe as stag_solve.solve_ee)
-                    op_true, floor = op, 1e-5
-                    op = lambda v: ee_b(v, self.m)
-                xf, _ = cgmod.cg_solve_restarted(
-                    op, sfst.to_fast(phi, self.lat),
-                    r2req=sp.r2req, maxits=sp.maxits,
-                    restarts=sp.restarts, op_true=op_true,
-                    inner_r2req_floor=floor)
-                return sfst.from_fast(xf, self.lat)
-            op = lambda v: st.d2ee3(s3, v, self.m)
-            x, _ = cgmod.cg_solve_restarted(
-                op, phi, r2req=sp.r2req, maxits=sp.maxits,
-                restarts=sp.restarts)
-            return x
+            return self.solve_ee(u, phi, sp)
 
         fparams = (self.force_params if self.force_params is not None
                    else self.params)
@@ -411,6 +417,63 @@ class StagHasenbusch:
     def make_action_fn(self) -> Callable:
         quad = make_quad_inv_action(self.lat, self.bc, self.m1,
                                     self.params, self.force_params)
+        delta = self.m2 * self.m2 - self.m1 * self.m1
+
+        def s_act(u, phi):
+            return jnp.real(linalg.dot(phi, phi)) + delta * quad(u, phi)
+
+        return s_act
+
+    def action(self, u: jax.Array, phi: jax.Array) -> jax.Array:
+        return self.make_action_fn()(u, phi)
+
+
+@dataclasses.dataclass(frozen=True)
+class HisqHasenbusch:
+    """Hasenbusch ratio term over the HISQ (fat+naik) operator.
+
+    Same even-site algebra as :class:`StagHasenbusch` with A replaced
+    by A3 = m^2 - D3_eo D3_oe on HISQ-smeared links:
+
+        S_h = phi^dag phi + (m2^2 - m1^2) phi^dag A3(m1)^{-1} phi
+
+    heatbath phi = [D3(m2)^{-1} D3(m1) xi]_e.  Forces flow by AD
+    through the two-level smear via the implicit-function custom_vjp
+    of the quad-inverse (reusing :class:`HisqFermion`).  QEX parity:
+    examples/hisqhmc_h.nim (self.hmass fields, :107,:257,:463).
+    """
+
+    lat: Lattice
+    m1: float           # light (target) mass
+    m2: float           # heavy (preconditioner) mass
+    bc: str = "pppa"
+    proj_iters: int = 14
+    params: SolverParams = SolverParams(r2req=1e-12, maxits=2000,
+                                        restarts=3)
+    force_params: SolverParams | None = None
+
+    def _ferm(self, m: float) -> HisqFermion:
+        return HisqFermion(self.lat, m, self.bc, self.proj_iters,
+                           self.params, self.force_params)
+
+    def heatbath(self, key: jax.Array, u: jax.Array) -> jax.Array:
+        f1 = self._ferm(self.m1)
+        fl, ll = f1._links(u)
+        s3 = st.new_stag3_eo(self.lat, fl, ll)
+        xi = gaussian_eta(key, self.lat, u.dtype)
+        xi_e, xi_o = eo.pack(xi, self.lat.nd)
+        # b = D3(m1) xi on both parities
+        b_e = self.m1 * xi_e + st.dslash3_eo(s3, xi_o, parity_out=0)
+        b_o = self.m1 * xi_o + st.dslash3_eo(s3, xi_e, parity_out=1)
+        # phi_e = [D3(m2)^{-1} b]_e via the eo-reduced normal solve
+        rhs = self.m2 * b_e - st.dslash3_eo(s3, b_o, parity_out=0)
+        return f1.solve_ee(u, rhs, m=self.m2)
+
+    def check_solve(self, u: jax.Array, phi: jax.Array):
+        return self._ferm(self.m1).check_solve(u, phi)
+
+    def make_action_fn(self) -> Callable:
+        quad = self._ferm(self.m1).make_action_fn()
         delta = self.m2 * self.m2 - self.m1 * self.m1
 
         def s_act(u, phi):

@@ -231,7 +231,8 @@ def d2ee_sharded(lm: LatticeMesh, ps: sp3.PallasStagEO3,
 
     fn = shard_map(body, mesh=lm.mesh,
                    in_specs=(links_spec(lm), links_spec(lm), vec_spec(lm)),
-                   out_specs=vec_spec(lm))
+                   out_specs=vec_spec(lm),
+                   check_vma=False)
     return fn(ps.l_e, ps.l_o, x_split)
 
 
@@ -252,7 +253,8 @@ def d2dd_sharded(lm: LatticeMesh, ps: sp3.PallasStagEO3,
 
     fn = shard_map(body, mesh=lm.mesh,
                    in_specs=(links_spec(lm), links_spec(lm), vec_spec(lm)),
-                   out_specs=vec_spec(lm))
+                   out_specs=vec_spec(lm),
+                   check_vma=False)
     return fn(ps.l_e, ps.l_o, x_split)
 
 
@@ -512,7 +514,8 @@ def d2ee3_sharded(lm: LatticeMesh, ps, x_split: jax.Array, m: float,
     fn = shard_map(body, mesh=lm.mesh,
                    in_specs=(links3_spec(lm), links3_spec(lm),
                              vec_spec(lm)),
-                   out_specs=vec_spec(lm))
+                   out_specs=vec_spec(lm),
+                   check_vma=False)
     return fn(ps.l_e, ps.l_o, x_split)
 
 
@@ -535,7 +538,8 @@ def d2dd3_sharded(lm: LatticeMesh, ps, x_split: jax.Array,
     fn = shard_map(body, mesh=lm.mesh,
                    in_specs=(links3_spec(lm), links3_spec(lm),
                              vec_spec(lm)),
-                   out_specs=vec_spec(lm))
+                   out_specs=vec_spec(lm),
+                   check_vma=False)
     return fn(ps.l_e, ps.l_o, x_split)
 
 

@@ -83,6 +83,55 @@ def test_force_finite_diff(lat, u):
     assert abs(num - ana) < 1e-5 * max(1.0, abs(num)), (num, ana)
 
 
+def test_hisq_ratio_action_identity(lat, u):
+    """HISQ ratio action == |D3(m1)^{-1} D3(m2) phi|^2 for even phi
+    (the hisqhmc_h.nim Hasenbusch algebra over the naik operator)."""
+    m1, m2 = 0.4, 0.9
+    h = stag_hmc.HisqHasenbusch(lat, m1, m2, "pppp", params=SP)
+    phi = h.heatbath(jax.random.PRNGKey(2), u)
+    s_red = float(h.action(u, phi))
+    # full-lattice evaluation over the same HISQ links
+    f1 = h._ferm(m1)
+    fl, ll = f1._links(u)
+    s3 = st.new_stag3_eo(lat, fl, ll)
+    b_e = m2 * phi
+    b_o = st.dslash3_eo(s3, phi, parity_out=1)
+    rhs = m1 * b_e - st.dslash3_eo(s3, b_o, parity_out=0)
+    psi_e = f1.solve_ee(u, rhs, m=m1)
+    psi_o = (b_o - st.dslash3_eo(s3, psi_e, parity_out=1)) / m1
+    s_full = float(linalg.norm2(psi_e) + linalg.norm2(psi_o))
+    assert s_red == pytest.approx(s_full, rel=1e-8)
+
+
+def test_hisq_heatbath_distribution(lat, u):
+    m1, m2 = 0.4, 0.9
+    h = stag_hmc.HisqHasenbusch(lat, m1, m2, "pppa", params=SP)
+    dofs = lat.nc * lat.volume // 2
+    vals = [float(h.action(u, h.heatbath(jax.random.PRNGKey(i), u)))
+            for i in range(4)]
+    mean = np.mean(vals)
+    assert abs(mean - dofs) < 6 * np.sqrt(dofs / 4), (mean, dofs)
+
+
+def test_hisq_chain_in_theory(lat, u):
+    """kind='hisq' with hmasses composes (hisqhmc_h.nim role)."""
+    from qex_tpu.gauge import action as ga
+    from qex_tpu.mcmc import FermionSpec, GaugeActionSpec, \
+        LatticeFieldTheory
+
+    theory = LatticeFieldTheory(
+        lat,
+        gauge=GaugeActionSpec(ga.wilson(5.0), steps=12, scheme="2MN"),
+        fermions=[FermionSpec("hisq", mass=0.4, steps=6, scheme="2MN",
+                              hmasses=(0.9,))],
+        smear=None, bc="pppa",
+        solver_params=SolverParams(r2req=1e-14, maxits=2000,
+                                   restarts=2), tau=0.3)
+    assert len(theory.terms) == 3  # gauge + hisq ratio + heavy hisq
+    u1, stt = theory.hmc_step(jax.random.PRNGKey(7), u)
+    assert abs(float(stt.dH)) < 0.5, float(stt.dH)
+
+
 def test_chain_in_theory(lat, u):
     """A Hasenbusch-split fermion runs a stable trajectory."""
     from qex_tpu.gauge import action as ga
