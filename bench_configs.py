@@ -29,7 +29,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--configs", type=int, nargs="+",
-                    default=[1, 2, 3, 5, 6])
+                    default=[1, 2, 3, 5, 6, 7])
     args = ap.parse_args(argv)
 
     import jax
@@ -199,10 +199,9 @@ def main(argv=None) -> int:
               f" its={int(sync(its))}, worst rel_r2={r2v:.2e}")
 
     if 5 in args.configs:
-        # 32^3x64 HISQ needs ~48 GB for the two-level fattening
-        # intermediates -- that config belongs on the v5p-32 mesh
-        # (dryrun-validated); the single-chip timing point with REAL
-        # hisq fattening is 24^3x48.
+        # single-chip HISQ timing point with REAL fattening at 24^3x48
+        # (CONFIG7 is the north-star 32^3x64 point, which also fits
+        # one chip since the MGS sampler + per-direction jits)
         lat = Lattice((24, 24, 24, 48))
         u = hot(lat)
         from qex_tpu.gauge.fat7 import hisq_links_lowmem
@@ -226,6 +225,28 @@ def main(argv=None) -> int:
         phase = jax.jit(lambda uu: stg.phase_links(lat, uu))
         fl, ll = hisq_links_lowmem(lat, phase(u))
         hisq_multishift("CONFIG6 32^4 (real HISQ links)", lat, fl, ll, 6)
+
+    if 7 in args.configs:
+        # the NORTH-STAR volume (BASELINE.md config 5: 32^3x64 HISQ
+        # multi-mass CG) on ONE chip: measured warm fatten 4.2 s +
+        # warm 4-mass multishift 1.61 s / 319 its / rel_r2 4e-9
+        # (exp_fat32.py 32 64); the v5p-32 mesh path carries the same
+        # ops via physics/stag_shard when more HBM/throughput is needed
+        from qex_tpu.gauge.fat7 import hisq_links_lowmem
+        from qex_tpu.physics import staggered as stg
+        lat = Lattice((32, 32, 32, 64))
+        u = hot(lat, seed=71)
+        phase = jax.jit(lambda uu: stg.phase_links(lat, uu))
+        t0 = time.perf_counter()
+        fl, ll = hisq_links_lowmem(lat, phase(u))
+        # block_until_ready is a silent no-op on the tunnel: sync by
+        # fetching a jitted scalar
+        sync(jax.jit(lambda a: jnp.real(jnp.sum(jnp.abs(a[0, 0, 0])))
+                     )(fl))
+        print(f"CONFIG7 32^3x64 two-level fattening: "
+              f"{time.perf_counter()-t0:.1f} s (incl. compiles)")
+        hisq_multishift("CONFIG7 32^3x64 (north-star volume)", lat,
+                        fl, ll, 7)
 
     return 0
 

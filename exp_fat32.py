@@ -27,11 +27,12 @@ from qex_tpu.physics import staggered as st
 from qex_tpu.solvers.base import SolverParams
 
 L = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+T = int(sys.argv[2]) if len(sys.argv) > 2 else L
 MASSES = (0.05, 0.1, 0.2, 0.4)
 
 
 def main():
-    lat = Lattice((L, L, L, L))
+    lat = Lattice((L, L, L, T))
     print(f"backend={jax.default_backend()} lat={lat.dims}", flush=True)
     key = jax.random.PRNGKey(5)
 
@@ -57,8 +58,19 @@ def main():
                                             + jnp.sum(jnp.abs(b[0, 0, 0])))
               )(fl, ll))
     t_fat = time.perf_counter() - t0
-    print(f"two-level fattening (lowmem): {t_fat:.1f}s  checksum {s:.4e}",
-          flush=True)
+    print(f"two-level fattening (lowmem, cold): {t_fat:.1f}s  "
+          f"checksum {s:.4e}", flush=True)
+
+    # free the first result BEFORE re-fattening: holding the old fl/ll
+    # alive across the warm pass doubles the live set and OOMs 32^3x64
+    del fl, ll
+    t0 = time.perf_counter()
+    fl, ll = hisq_links_lowmem(lat, g)
+    s = float(jax.jit(lambda a, b: jnp.real(jnp.sum(jnp.abs(a[0, 0, 0]))
+                                            + jnp.sum(jnp.abs(b[0, 0, 0])))
+              )(fl, ll))
+    print(f"two-level fattening (lowmem, warm): "
+          f"{time.perf_counter()-t0:.2f}s  checksum {s:.4e}", flush=True)
 
     ferm = stag_hmc.HisqFermion(lat, MASSES[0],
                                 params=SolverParams(r2req=1e-10,

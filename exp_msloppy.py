@@ -68,19 +68,20 @@ def main():
         xs, its, r2 = solve(ge, go, b)
         itv = float(its)
         dt = time.perf_counter() - t0
-        # true residuals per mass against the f32 fast operator
-        fs = sf.new_fast(s)
 
+        # true residuals per mass; links enter as jit ARGUMENTS (a
+        # closure capture becomes a compile constant the axon tunnel
+        # cannot fetch) and scalars come back as a tuple (iterating a
+        # device array is an eager op -- also unsupported)
         @jax.jit
-        def resid(xs_, b_):
-            out = []
-            for i, m in enumerate(MASSES):
-                r = sf.d2ee_fast(fs, sf.to_fast(xs_[i], lat), m) \
-                    - sf.to_fast(b_, lat)
-                out.append(linalg.norm2(r) / linalg.norm2(b_))
-            return jnp.stack(out)
+        def resid(ge_, go_, xs_, b_):
+            s_ = st.StaggeredEO(lat, ge_, go_)
+            return tuple(
+                linalg.norm2(st.d2ee(s_, xs_[i], m) - b_)
+                / linalg.norm2(b_)
+                for i, m in enumerate(MASSES))
 
-        rs = [float(x) for x in jnp.asarray(resid(xs, b))]
+        rs = [float(x) for x in resid(ge, go, xs, b)]
         print(f"{tag}: {dt:.3f} s, its={itv:.0f}, "
               f"true rel r2={['%.2e' % r for r in rs]}", flush=True)
         return dt, rs

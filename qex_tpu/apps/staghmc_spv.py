@@ -81,12 +81,12 @@ def build_theory(cfg, lat, dtype, mesh=None):
         lat, gauges, fermions, smear=smear, bc=cfg.bc,
         solver_params=SolverParams(
             r2req=cfg.a_tol, maxits=cfg.a_maxits, restarts=3,
-            mesh=mesh),
+            mesh=mesh, sloppy=bool(cfg.sloppy_solve)),
         # MD-force solves at the (usually looser) f_tol/f_maxits
         # (QEX staghmc_spv_init_and_io.nim:482)
         force_solver_params=SolverParams(
             r2req=cfg.f_tol, maxits=cfg.f_maxits, restarts=3,
-            mesh=mesh),
+            mesh=mesh, sloppy=bool(cfg.sloppy_solve)),
         tau=cfg.tau)
 
 

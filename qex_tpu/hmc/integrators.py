@@ -65,16 +65,21 @@ def _4mn5fv(rho: float = 0.2539785108410595,
 
 
 def _4mn5fp(rho: float = 0.2750081212332419,
-            mu: float = -0.1347950099106792,
-            theta: float = -0.08442961950707149,
+            theta: float = -0.1347950099106792,
+            vartheta: float = -0.08442961950707149,
             lam: float = 0.3549000571574260) -> Integrator:
-    """OMF 4th-order 5-stage position version.  Defaults match QEX
-    '4MN5FP,0.2750...,−0.1347...,−0.0844...,0.3549...'."""
+    """OMF 4th-order 5-force position version.  Defaults and stage
+    structure match QEX '4MN5FP,0.2750...,−0.1347...,−0.0844...,
+    0.3549...' (mcmcTypes.nim:346-360: T(rho) V(vartheta) T(theta)
+    V(lambda) T(1/2-theta-rho) V(1-2lambda-2vartheta) palindrome).
+    Verified genuinely 4th order (|c5| = 5.2e-5) by the exact jet
+    Taylor pipeline in tools/derive_mn6_schemes.py; the round-1
+    encoding misassigned the stage roles and was only 2nd order."""
     return Integrator("4MN5FP", (
-        ("T", theta), ("V", rho), ("T", lam), ("V", mu),
-        ("T", 0.5 - lam - theta), ("V", 1.0 - 2.0 * (mu + rho)),
-        ("T", 0.5 - lam - theta), ("V", mu), ("T", lam), ("V", rho),
-        ("T", theta)))
+        ("T", rho), ("V", vartheta), ("T", theta), ("V", lam),
+        ("T", 0.5 - theta - rho), ("V", 1.0 - 2.0 * (lam + vartheta)),
+        ("T", 0.5 - theta - rho), ("V", lam), ("T", theta),
+        ("V", vartheta), ("T", rho)))
 
 
 def _fgi(lam: float = 1.0 / 6.0, xi: float = 1.0 / 72.0) -> Integrator:
@@ -118,8 +123,12 @@ def _4mn3f1gp(lam: float = 0.2470939580390842) -> Integrator:
 
 
 def _scale_steps(steps, w):
+    # FG(c, xi): the gradient term is xi*dt^3 (integrate() applies
+    # a = 2 xi dt^2 / c against a c*dt kick), so a w-scaled substep
+    # needs xi*w^3 -- w^2 here silently broke FGI6's 6th order
+    # (caught by the jet Taylor pipeline, tools/derive_mn6_schemes.py)
     return [(s[0], s[1] * w) if s[0] in ("T", "V")
-            else (s[0], s[1] * w, s[2] * w * w) for s in steps]
+            else (s[0], s[1] * w, s[2] * w ** 3) for s in steps]
 
 
 def _merge_adjacent(steps):
@@ -167,6 +176,55 @@ def _s7odr6() -> Integrator:
     for w in (w3, w2, w1, w0, w1, w2, w3):
         seq += _scale_steps(_lf().steps, w)
     return Integrator("S7ODR6", _merge_adjacent(seq))
+
+
+def _6mn7fv() -> Integrator:
+    """6th order, 7 forces (8 kicks, outer pair merges across steps),
+    velocity: V(b1) T(a1) V(b2) T(a2) V(b3) T(a3) V(b4) T(a4)
+    palindrome -- the MDevolve '6MN7FV' structure
+    (integrator.nim:32-60 accepts the name; the external coefficient
+    table is unavailable).  Coefficients are OUR OWN solution of the
+    six 6th-order BCH conditions for this structure (quadratic-kinetic
+    reduction kills two grade-5 brackets, leaving 2+4 conditions in
+    the 6 free parameters): the unique real root found by
+    tools/derive_mn6_schemes.py (exact jet-Taylor error extraction,
+    120 Newton starts), |e7| = 0.0194, kick mass 1.157.  Genuinely
+    6th order -- see tests/test_numutils.py::test_order6_family."""
+    b1, b2, b3 = (0.0833333333333339, 0.3977675859548744,
+                  -0.0393336931448754)
+    a1, a2, a3 = (0.2465881872785576, 0.6047073875058909,
+                  -0.4009869039801584)
+    b4 = 0.5 - (b1 + b2 + b3)
+    a4 = 1.0 - 2.0 * (a1 + a2 + a3)
+    return Integrator("6MN7FV", (
+        ("V", b1), ("T", a1), ("V", b2), ("T", a2), ("V", b3),
+        ("T", a3), ("V", b4), ("T", a4), ("V", b4), ("T", a3),
+        ("V", b3), ("T", a2), ("V", b2), ("T", a1), ("V", b1)))
+
+
+def _6mn5f3gp() -> Integrator:
+    """6th order, 5 forces + 3 gradients, position: T(a1) V(b1) T(a2)
+    FG(b2,x2) T(a3) FG(b3,x3) palindrome -- the MDevolve '6MN5F3GP'
+    structure (integrator.nim:32-60 accepts the name; the external
+    coefficient table is unavailable).  Coefficients are OUR OWN
+    solution of the six 6th-order BCH conditions
+    (tools/derive_mn6_schemes.py + tools/derive_6mn5f3gp_alt.py, exact
+    jet-Taylor error extraction): the gradient-on-outer-kicks
+    placement has NO real root (300 Newton starts, span 2.0); the
+    inner placement has four, of which this is the best (|e7| = 0.43,
+    kick mass 1.41).  NOTE the large drift coefficients (a2 = 1.38,
+    a3 = -1.13): per-step stability is weaker than 6MN7FV/FGI6 -- this
+    scheme exists for structure parity; prefer 6MN7FV for production
+    6th-order MD."""
+    a1, a2 = 0.2462816126213404, 1.3791958713617729
+    b1, b2 = 0.6011720556157608, 0.0023426279821689537
+    x2, x3 = 0.0010395019784750540, 0.019882067405128642
+    a3 = 0.5 - a1 - a2
+    b3 = 1.0 - 2.0 * (b1 + b2)
+    return Integrator("6MN5F3GP", (
+        ("T", a1), ("V", b1), ("T", a2), ("FG", b2, x2), ("T", a3),
+        ("FG", b3, x3), ("T", a3), ("FG", b2, x2), ("T", a2),
+        ("V", b1), ("T", a1)))
 
 
 def _fgi6() -> Integrator:
@@ -282,22 +340,18 @@ _REGISTRY: dict[str, Callable[..., Integrator]] = {
     "YOSHIDA6": _yoshida6,
     "S7ODR6": _s7odr6,
     "FGI6": _fgi6,
+    "6MN7FV": _6mn7fv,
+    "6MN5F3GP": _6mn5f3gp,
 }
 
-# Remaining MDevolve-only names with no same-structure implementation
-# here (integrator.nim:32-60 factory accepts them; the coefficient
-# tables live in the external MDevolve Nim package).  Each maps to a
-# published scheme of the SAME order and force/gradient character --
-# genuinely symplectic and order-verified -- but a different
-# structure, so ``get_integrator`` warns loudly whenever one is
-# requested.  (The 4MN*G names above are NOT aliases: they implement
-# the named structure exactly, with self-derived minimum-norm
-# parameters.)
-_ALIASES: dict[str, tuple[str, Callable[..., Integrator]]] = {
-    "6MN7FV": ("S7ODR6 (Yoshida 6th order, 7-stage velocity)", _s7odr6),
-    "6MN5F3GP": ("FGI6 (triple-jump Chin, 6th order w/ gradients)",
-                 _fgi6),
-}
+# No MDevolve-only aliases remain: every name the reference factory
+# accepts (integrator.nim:32-60) is implemented with its OWN named
+# stage structure; where MDevolve's external coefficient tables are
+# unavailable the parameters are self-derived solutions of the exact
+# order conditions (tools/derive_fg_schemes.py for the 4th-order
+# family, tools/derive_mn6_schemes.py for the 6th).  The alias
+# machinery is kept for future names.
+_ALIASES: dict[str, tuple[str, Callable[..., Integrator]]] = {}
 
 INTEGRATORS = tuple(_REGISTRY) + tuple(_ALIASES)
 
@@ -305,8 +359,9 @@ INTEGRATORS = tuple(_REGISTRY) + tuple(_ALIASES)
 def get_integrator(name: str) -> Integrator:
     """String -> integrator, with QEX's comma-parameter syntax:
     e.g. '2MN,0.20' or '4MN5FV,0.25,-0.03,0.08,0.68'
-    (integrator.nim factory parity).  MDevolve-only names resolve to
-    same-order published substitutes WITH a loud warning."""
+    (integrator.nim factory parity).  Every reference-accepted name is
+    a genuine named-structure implementation; any future alias would
+    resolve to a same-order substitute WITH a loud warning."""
     parts = str(name).split(",")
     key = parts[0].upper()
     args = [float(x) for x in parts[1:]]

@@ -73,9 +73,17 @@ def theory_from_json(src: str | dict, mesh_to_solver: bool | None = None
 
     act = cfg.get("action", {})
     smear = None
-    if act.get("smearing", "none").lower() == "nhyp":
+    smkind = act.get("smearing", "none").lower()
+    if smkind == "nhyp":
         a = act.get("smearing-coefficients", [0.4, 0.5, 0.5])
         smear = HypCoefs(*[float(x) for x in a])
+    elif smkind == "stout":
+        from ..gauge.smear import StoutCoefs
+        a = act.get("smearing-coefficients", [0.1])
+        rho = float(a[0]) if isinstance(a, (list, tuple)) else float(a)
+        smear = StoutCoefs(rho)
+    elif smkind not in ("none", ""):
+        raise ValueError(f"unknown smearing kind {smkind!r}")
     bc = act.get("boundary-conditions", "pppa")
 
     g = cfg.get("gauge", {})

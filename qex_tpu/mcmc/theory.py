@@ -23,9 +23,9 @@ import jax.numpy as jnp
 
 from ..gauge.action import (GaugeActionCoeffs, force_from_action,
                             full_action)
-from ..gauge.smear import (HypCoefs, nhyp_smear, nhyp_stages,
-                           nhyp_stage_terms,
-                           nhyp_stages_preproj)
+from ..gauge.smear import (HypCoefs, StoutCoefs, nhyp_smear,
+                           nhyp_stages, nhyp_stage_terms,
+                           nhyp_stages_preproj, stout_smear)
 from ..hmc import hmc as hmc_mod
 from ..lattice import Lattice
 from ..ops import group
@@ -73,7 +73,7 @@ class LatticeFieldTheory:
     def __init__(self, lat: Lattice,
                  gauge: GaugeActionSpec | Sequence[GaugeActionSpec],
                  fermions: Sequence[FermionSpec] = (),
-                 smear: HypCoefs | None = None,
+                 smear: HypCoefs | StoutCoefs | None = None,
                  bc: str = "pppa",
                  solver_params: SolverParams = SolverParams(
                      r2req=1e-12, maxits=2000, restarts=3),
@@ -97,6 +97,10 @@ class LatticeFieldTheory:
     def _smear(self, u: jax.Array) -> jax.Array:
         if self.smear_coefs is None:
             return u
+        if isinstance(self.smear_coefs, StoutCoefs):
+            # stout per-action smearing (mcmcTypes.nim:183-196 offers
+            # nhyp OR stout); force = AD through the exp-staple map
+            return stout_smear(self.smear_coefs, self.lat, u)
         return nhyp_smear(self.smear_coefs, self.lat, u)
 
     def _build_terms(self) -> list[ActionTerm]:

@@ -137,10 +137,16 @@ def cg_multishift_refined(base_sloppy: Callable[[jax.Array], jax.Array],
         op_t = (lambda v, s=s: base_true(v) + s * v)
         op_s = (lambda v, s=s: base_sloppy(v) + s * v)
         d = b - op_t(xs[i])
+        # inner floor = the SLOPPY operator's achievable residual
+        # (sloppy_r2req), NOT a fraction of the final target: asking a
+        # bf16 inner pass for 1e-7 stalls it at its ~1e-5 noise floor
+        # and burns the whole iteration budget before the op_true
+        # restarts can correct (measured exp_msloppy.py: lightest
+        # shift stuck at 1.1e-5 true r2 with the old 0.1*r2_ref floor)
         e, sti = cgmod.cg_solve_restarted(
             op_s, d, r2req=r2_ref, maxits=maxits,
             restarts=refine_restarts, op_true=op_t,
-            inner_r2req_floor=max(r2_ref * 0.1, 1e-12))
+            inner_r2req_floor=max(r2_ref * 0.1, sloppy_r2req))
         out.append(xs[i] + e)
         total = total + sti.iterations
         ri = linalg.norm2(b - op_t(out[i])) / b2

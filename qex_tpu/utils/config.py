@@ -96,6 +96,12 @@ class HMCConfig:
     a_maxits: int = 10000
     f_tol: float = 1e-12
     f_maxits: int = 10000
+    # mixed-precision inner solves (bf16-link Pallas iterations with
+    # full-precision true-residual restarts) -- the QEX
+    # SolverParams.sloppySolve knob (solverBase.nim:8-15); measured
+    # FEWER total iterations at equal true residual on v5e for the
+    # plain staggered path (CLAUDE.md), no-op where unsupported
+    sloppy_solve: int = 0
     # re-solve each matter term per trajectory and print SOLVER lines;
     # costs one extra solve per term (default off -- unlike QEX, whose
     # check reads stats gathered during the trajectory for free)
@@ -184,6 +190,8 @@ class HMCConfig:
         c.f_maxits = _get(root, "solver/f_maxits", c.f_maxits, int)
         c.check_solvers = _get(root, "solver/check_solvers",
                                c.check_solvers, int)
+        c.sloppy_solve = _get(root, "solver/sloppy_solve",
+                              c.sloppy_solve, int)
         c.plaq_freq = _get(root, "extra/basic_meas/plaq/plaq_freq",
                            c.plaq_freq, int)
         c.plaq_verbose = _get(root, "extra/basic_meas/plaq/plaq_verbose",

@@ -61,6 +61,33 @@ def test_reference_xml_deck_parses():
     assert c.rng_type == "RngMilc6"
 
 
+def test_sloppy_solve_key(tmp_path):
+    """<solver><sloppy_solve> reaches SolverParams.sloppy (the QEX
+    SolverParams.sloppySolve knob, solverBase.nim:8-15)."""
+    xml = textwrap.dedent("""\
+    <?xml version="1.0"?>
+    <qex>
+      <action>
+        <geom><Ns>4</Ns><Nt>4</Nt></geom>
+        <gauge><beta>5.0</beta></gauge>
+        <ferm><Nf>4</Nf><mass>0.1</mass></ferm>
+      </action>
+      <solver><sloppy_solve>1</sloppy_solve></solver>
+    </qex>
+    """)
+    p = tmp_path / "deck.xml"
+    p.write_text(xml)
+    c = HMCConfig.from_xml(str(p))
+    assert c.sloppy_solve == 1
+
+    import jax.numpy as jnp
+    from qex_tpu.apps.staghmc_spv import build_theory
+    from qex_tpu.lattice import Lattice
+    theory = build_theory(c, Lattice(c.dims), jnp.complex128)
+    assert theory.solver_params.sloppy is True
+    assert theory.force_solver_params.sloppy is True
+
+
 def test_config_overrides():
     c = HMCConfig()
     c.override({"beta": "6.5", "nf": "4"})

@@ -216,9 +216,8 @@ def test_yoshida_order_scaling(lat, u):
     assert abs(d16) < abs(d8) / 8.0, (d8, d16)  # ~16x for dt^4
     y6 = integrators.get_integrator("YOSHIDA6")
     assert abs(dh(y6, 16)) < abs(d16)
-    # 6MN7FV alias resolves (with a warning) to a 6th-order scheme
-    with pytest.warns(UserWarning, match="MDevolve"):
-        assert integrators.get_integrator("6MN7FV").name == "S7ODR6"
+    # 6MN7FV is a genuine named-structure implementation (no warning)
+    assert integrators.get_integrator("6MN7FV").name == "6MN7FV"
     # the 7-stage Yoshida-A scheme is genuinely high order: halving dt
     # cuts |dH| far faster than 4th order would
     s7 = integrators.get_integrator("S7ODR6")

@@ -73,9 +73,10 @@ def test_cspline_validation():
 
 def test_mdevolve_alias_names_accepted():
     """Every name the reference factory (integrator.nim:32-60) accepts
-    must resolve here too.  The 4MN*G structure names are now genuine
-    implementations (tools/derive_fg_schemes.py) and must NOT warn;
-    only 6MN7FV / 6MN5F3GP remain warned substitutes."""
+    must resolve here too.  ALL structure names are now genuine
+    implementations (tools/derive_fg_schemes.py for the 4th-order
+    family, tools/derive_mn6_schemes.py for the 6th) and must NOT
+    warn."""
     import warnings as _w
 
     from qex_tpu.hmc import integrators
@@ -86,7 +87,7 @@ def test_mdevolve_alias_names_accepted():
             _w.simplefilter("always")
             sch = integrators.get_integrator(name)
         warned = any("MDevolve" in str(r.message) for r in rec)
-        assert warned == (name in ("6MN7FV", "6MN5F3GP")), name
+        assert not warned, name
         # symplectic sanity: T and V coefficients each sum to 1
         tsum = sum(s[1] for s in sch.steps if s[0] == "T")
         vsum = sum(s[1] for s in sch.steps if s[0] in ("V", "FG"))
@@ -110,3 +111,50 @@ def test_fg_family_order4():
 
         r = dh(3) / max(dh(6), 1e-300)
         assert r > 8.0, (name, r)
+
+
+def test_4mn5fp_order4():
+    """4MN5FP is genuinely 4th order with the mcmcTypes.nim:346-360
+    stage structure T(rho) V(vartheta) T(theta) V(lambda)...; the
+    round-1 misassignment (T(theta) first) was only 2nd order and is
+    pinned dead here."""
+    import jax
+
+    from qex_tpu.models import u1
+    th = u1.random_field(jax.random.PRNGKey(21), (2, 8, 8))
+
+    def dh(steps):
+        _, s = u1.hmc_step(jax.random.PRNGKey(2), th, 1.0,
+                           tau=1.0, steps=steps, scheme="4MN5FP")
+        return abs(float(s["dH"]))
+
+    r = dh(3) / max(dh(6), 1e-300)
+    assert r > 8.0, r
+
+
+def test_order6_family():
+    """YOSHIDA6 / S7ODR6 / FGI6 / 6MN7FV are genuinely 6th order
+    (~64x per dt halving; > 24 allowed for noise).  FGI6 in particular
+    pins the FG-xi w^3 substep scaling in _scale_steps: the round-1
+    w^2 scaling made the triple-jump composition only 2nd order.
+    6MN7FV pins the self-derived MDevolve-structure coefficients
+    (tools/derive_mn6_schemes.py)."""
+    import warnings
+
+    import jax
+
+    from qex_tpu.models import u1
+    th = u1.random_field(jax.random.PRNGKey(21), (2, 8, 8))
+    for name in ("YOSHIDA6", "S7ODR6", "FGI6", "6MN7FV", "6MN5F3GP"):
+        def dh(steps):
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                _, s = u1.hmc_step(jax.random.PRNGKey(2), th, 1.0,
+                                   tau=1.0, steps=steps, scheme=name)
+            return abs(float(s["dH"]))
+
+        # 6MN5F3GP's large drift substeps (a2=1.38) need finer steps
+        # to reach the asymptotic regime
+        n0 = 4 if name == "6MN5F3GP" else 2
+        r = dh(n0) / max(dh(2 * n0), 1e-300)
+        assert r > 24.0, (name, r)

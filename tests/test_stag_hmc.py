@@ -174,6 +174,41 @@ def test_dynamical_hmc_smeared(lat, u):
     assert abs(float(st.dH)) < 0.5, float(st.dH)
 
 
+def test_stout_smeared_theory(lat, u):
+    """Stout per-action smearing (the mcmcTypes.nim:183-196 nhyp|stout
+    choice): a stout-smeared staggered fermion runs a stable,
+    reversible trajectory, and the JSON builder accepts
+    smearing='stout'."""
+    from qex_tpu.gauge.smear import StoutCoefs
+    theory = LatticeFieldTheory(
+        lat,
+        gauge=GaugeActionSpec(ga.wilson(5.0), steps=12, scheme="2MN"),
+        fermions=[FermionSpec("fermion", mass=0.3, steps=6,
+                              scheme="2MN", smeared=True)],
+        smear=StoutCoefs(0.12), bc="pppa", solver_params=SP, tau=0.3)
+    u1, stt = theory.hmc_step(jax.random.PRNGKey(5), u)
+    assert abs(float(stt.dH)) < 0.5, float(stt.dH)
+
+    import json, tempfile
+    from qex_tpu.mcmc.builder import theory_from_json
+    deck = {
+        "hmc": {"lattice-geometry": list(lat.dims),
+                "trajectory-length": 0.3},
+        "action": {"smearing": "stout",
+                   "smearing-coefficients": [0.12],
+                   "boundary-conditions": "pppa"},
+        "gauge": {"beta": 5.0, "steps": 12},
+        "staggered-fermions": {"mass": 0.3, "steps": 6},
+    }
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        json.dump(deck, f)
+        path = f.name
+    _lat, th2, _meta = theory_from_json(path)
+    assert isinstance(th2.smear_coefs, StoutCoefs)
+    assert th2.smear_coefs.rho == 0.12
+
+
 def test_hmc_step_split_matches_fused(lat, u):
     """The split-step dispatcher (Python loop of small jits, for
     volumes where the whole-trajectory program OOMs the XLA compiler)
