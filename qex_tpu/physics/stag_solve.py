@@ -161,10 +161,20 @@ def solve_multi(s: st.StaggeredEO, b_e: jax.Array, masses: list[float],
         from . import stag_fast as sf
         fs = sf.new_fast(s)
         base_sloppy = None
+        # Mixed-precision multishift is profitable ONLY when every
+        # shift satisfies the iterative-refinement criterion
+        # eps_sloppy * kappa(A + sigma) < 1 (eps_bf16 ~ 3.9e-3,
+        # lambda_max(-D_eo D_oe) <= 16): below it the per-shift sloppy
+        # refinement stalls and the f32 closure re-does the work
+        # (measured 0.69x at 32^4 masses 0.025-0.2, exp_msloppy.py).
+        # Single-mass solves restart and stay profitable at much
+        # lighter masses (solve_ee handles those).
+        sloppy_ok = min(shifts) >= 2 * 3.9e-3 * 16
         from . import stag_shard as sh
         if sh.mesh_usable(params.mesh, s.lat):
             _, base = sh.ops8(params.mesh, fs)
-            if params.sloppy and jax.default_backend() == "tpu":
+            if (params.sloppy and sloppy_ok
+                    and jax.default_backend() == "tpu"):
                 _, base_sloppy = sh.ops8(params.mesh, fs,
                                          links_dtype=jnp.bfloat16)
         elif _use_pallas(s.lat):
@@ -173,7 +183,7 @@ def solve_multi(s: st.StaggeredEO, b_e: jax.Array, masses: list[float],
                 ps = sp3.new_pallas3(fs)
                 base = lambda v: sp3._join(
                     sp3.d2dd_pallas3(ps, sp3._split(v), 0))
-                if params.sloppy:
+                if params.sloppy and sloppy_ok:
                     # bf16-link sloppy pass + per-shift f32
                     # true-residual refinement (QEX sloppySolve for
                     # the multimass path)
@@ -186,7 +196,7 @@ def solve_multi(s: st.StaggeredEO, b_e: jax.Array, masses: list[float],
                 # d2ee at m=0 is exactly the shift-free base -D_eo D_oe
                 base = lambda v: sp._join(
                     sp.d2ee_pallas(p1, sp._split(v), 0.0))
-                if params.sloppy:
+                if params.sloppy and sloppy_ok:
                     pb = sp.new_pallas(fs, links_dtype=jnp.bfloat16)
                     base_sloppy = lambda v: sp._join(
                         sp.d2ee_pallas(pb, sp._split(v), 0.0))

@@ -210,7 +210,18 @@ def solve_eo(w: WilsonEO, b: jax.Array,
         bf_o = sfst.to_fast(b_o, lat)
         rhs = bf_e + wfst.hop_fast(fw, bf_o, parity_out=0) / w.a
         rhs_n = wfst.m_ee_dag_fast(fw, rhs)
-        op = lambda v: wfst.m_ee_dag_fast(fw, wfst.m_ee_fast(fw, v))
+        if jax.default_backend() not in ("cpu",):
+            from . import wilson_pallas as wpal
+            if wpal.fits(lat):
+                # fused 8-term spin-projected stencil kernel
+                pw = wpal.new_pallas_wilson(fw)
+                op = lambda v: wpal._join(wpal.m_ee_dag_pallas(
+                    pw, wpal.m_ee_pallas(pw, wpal._split(v))))
+            else:
+                op = lambda v: wfst.m_ee_dag_fast(fw,
+                                                  wfst.m_ee_fast(fw, v))
+        else:
+            op = lambda v: wfst.m_ee_dag_fast(fw, wfst.m_ee_fast(fw, v))
         xf_e, stats = cg.cg_solve_restarted(op, rhs_n,
                                             r2req=params.r2req,
                                             maxits=params.maxits,

@@ -70,6 +70,7 @@ def cg_solve_restarted(op: Callable[[jax.Array], jax.Array], b: jax.Array,
                        inner_r2req_floor: float = 1e-12,
                        op_true: Callable[[jax.Array], jax.Array] | None
                        = None,
+                       stop2: jax.Array | None = None,
                        ) -> tuple[jax.Array, SolverStats]:
     """Defect-correction restarted CG.
 
@@ -84,13 +85,18 @@ def cg_solve_restarted(op: Callable[[jax.Array], jax.Array], b: jax.Array,
     sloppy (e.g. bf16-link) arithmetic is the QEX ``sloppySolve``
     mixed-precision scheme.
 
+    ``stop2`` (optional, traced): absolute squared-residual stop that
+    OVERRIDES ``r2req * |b|^2`` — lets a defect-correction caller aim
+    at the ORIGINAL system's target (so the call short-circuits to zero
+    iterations when the incoming defect already meets it).
+
     jit-safe: fixed ``restarts`` trip count with a converged short-circuit
     inside the scan body.
     """
     if op_true is None:
         op_true = op
     b2 = linalg.norm2(b)
-    stop = r2req * b2
+    stop = r2req * b2 if stop2 is None else stop2
 
     def inner(rhs):
         x, st = cg_solve(op, rhs, r2req=max(r2req * 0.1, inner_r2req_floor),

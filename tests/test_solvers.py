@@ -107,3 +107,47 @@ def test_multishift_refined_mixed_precision():
         base_sloppy, bb, shifts, r2req=1e-26, maxits=600))(b)
     r0 = b - (base_true(xs0[0]) + shifts[0] * xs0[0])
     assert float(linalg.norm2(r0)) / b2 > 1e-18
+
+
+def test_multishift_refined_closes_past_sloppy_stall():
+    # When the sloppy operator is so coarse that eps_sloppy *
+    # kappa(A + sigma) > 1 for the lightest shift, sloppy-inner
+    # iterative refinement mathematically STALLS (measured on the chip:
+    # bf16 links at 32^4, lightest mass stuck at 1e-5 true r2).  The
+    # hybrid closure (true-operator inner solves aimed at the original
+    # absolute target via stop2) must still reach r2req -- and must
+    # cost ~nothing for shifts the sloppy refinement already closed.
+    from qex_tpu.solvers import cgm
+
+    rng = np.random.default_rng(7)
+    n = 200
+    # A = G^T G, SPD with condition ~2e4 at the lightest shift:
+    # eigenvalues in [~0, 4], shift 2e-4 -> kappa ~ 2e4; bf16 eps
+    # 3.9e-3 -> eps*kappa ~ 80 >> 1 (the stall regime).  The sloppy
+    # operator rounds the FACTOR G (the bf16-LINK structure: D~^dag D~
+    # stays exactly PSD), not the assembled matrix (which would break
+    # definiteness — something bf16 links never do).
+    q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    lam = np.linspace(0.0, 4.0, n)
+    g = (q * np.sqrt(lam)) @ q.T
+    gj = jnp.asarray(g, jnp.float64)
+    # bf16-valued entries, f32 arithmetic (the Pallas sloppy kernel's
+    # exact structure: bf16 links, f32 spinors)
+    g16 = gj.astype(jnp.bfloat16).astype(jnp.float32)
+
+    def base_true(v):
+        return gj.T @ (gj @ v)
+
+    def base_sloppy(v):
+        w = g16 @ v.astype(jnp.float32)
+        return (g16.T @ w).astype(v.dtype)
+
+    b = jnp.asarray(rng.normal(size=n), jnp.float64)
+    shifts = [2e-4, 0.25, 1.0]
+    xs, stats = jax.jit(lambda bb: cgm.cg_multishift_refined(
+        base_sloppy, base_true, bb, shifts, r2req=1e-20,
+        sloppy_r2req=1e-4, maxits=4000, refine_restarts=4))(b)
+    b2 = float(linalg.norm2(b))
+    for sig, x in zip(shifts, xs):
+        rel = float(linalg.norm2(b - (base_true(x) + sig * x))) / b2
+        assert rel < 1e-20, (sig, rel)
