@@ -143,6 +143,55 @@ def main(argv=None) -> int:
     print(f"CG m=0.01: {dt:6.3f} s, {int(nits)} iters, "
           f"{fl/dt/1e9:8.1f} GF/s (QEX flop model)")
 
+    # --- Wilson eo operator (wilsonD.nim flop model, 1344/site) --------
+    from qex_tpu.physics import wilson as wlm
+    from qex_tpu.physics import wilson_fast as wfm
+    from qex_tpu.physics import wilson_pallas as wpal
+
+    @jax.jit
+    def wilson_setup(uu, vv):
+        w = wlm.new_wilson_eo(lat, uu, m=0.1)
+        fw = wfm.new_fast_wilson(w)
+        x4 = jnp.stack([vv, jnp.roll(vv, 1, -1), jnp.roll(vv, 2, -1),
+                        jnp.roll(vv, 3, -1)])
+        from qex_tpu.ops.eo import pack
+        xe, _ = pack(x4, lat.nd)
+        return fw.g_e, fw.g_o, sf.to_fast(xe, lat)
+
+    wge, wgo, wxe = wilson_setup(u, v)
+    nchw = 10
+    wfl = 1344 * (V // 2)
+
+    def whop_fast(ge_, go_, x_):
+        fw = wfm.FastWilsonEO(lat, ge_, go_, 0.1)
+
+        def body(y, _):
+            return wfm.m_ee_fast(fw, y) / 17.0, None
+        y, _ = jax.lax.scan(body, x_, None, length=nchw)
+        return scal(y)
+
+    dt, n = _timeit(jax.jit(whop_fast), wge, wgo, wxe,
+                    budget_s=args.budget)
+    dt /= 2 * nchw  # m_ee = two hops
+    print(f"wilson m_ee fast  : {dt*1e3:9.2f} ms/hop "
+          f"{wfl/dt/1e9:8.1f} GF/s  (x{n})")
+    if jax.default_backend() not in ("cpu",) and wpal.fits(lat):
+        def whop_pal(ge_, go_, x_):
+            fw = wfm.FastWilsonEO(lat, ge_, go_, 0.1)
+            pw = wpal.new_pallas_wilson(fw)
+
+            def body(y, _):
+                return wpal.m_ee_pallas(pw, y) / 17.0, None
+            y, _ = jax.lax.scan(body, wpal._split(x_), None,
+                                length=nchw)
+            return scal(wpal._join(y))
+
+        dt, n = _timeit(jax.jit(whop_pal), wge, wgo, wxe,
+                        budget_s=args.budget)
+        dt /= 2 * nchw
+        print(f"wilson m_ee pallas: {dt*1e3:9.2f} ms/hop "
+              f"{wfl/dt/1e9:8.1f} GF/s  (x{n})")
+
     # --- lattice IO (benchQio) -----------------------------------------
     import os
     import tempfile
