@@ -202,13 +202,12 @@ def _fast3_ops_sloppy(f3, mesh=None):
     QEX sloppySolve mixed-precision role; pair with the full-precision
     op as ``op_true`` in cg_solve_restarted).
 
-    Currently always returns None for the sloppy slot: the bf16-link
-    HISQ kernel MEASURED SLOWER than f32 on v5e (exp_hisq.py 24^3x48
-    same-process A/B: 1.96 vs 1.35 ms/d2dd, sloppy ee-solve 0.44 vs
-    0.35 s) -- the 16-term streamed kernel pays twice v3's VPU
-    bf16->f32 conversion work and is not DMA-bound, so halving link
-    traffic does not pay.  The hook stays so a faster sloppy operator
-    can slot in without touching the solve drivers."""
+    The bf16-link sloppy slot is live on the single-chip Pallas route:
+    with the z-vectorized kernel (full-sublane (nzb, YX) values) bf16
+    links measure 0.780 vs 1.074 ms/d2dd at 24^3x48 (980 GF/s; the
+    per-z-plane variant's convert overhead made bf16 SLOWER, 1.96 vs
+    1.35 ms -- exp_hisq.py same-process A/Bs), and the sloppy ee-solve
+    drops 0.339 -> 0.132 s at true r2 1.4e-10."""
     from . import stag_fast as sfst
     from .stag_solve import _use_pallas
     from .stag_shard import mesh_usable, ops16
@@ -225,7 +224,10 @@ def _fast3_ops_sloppy(f3, mesh=None):
                 sph.d2ee_pallas_hisq(p3, sph._split(v), m))
             dd = lambda v: sph._join(
                 sph.d2dd_pallas_hisq(p3, sph._split(v), 0))
-            return ee, dd, None
+            p3b = sph.new_pallas_hisq(f3, links_dtype=jnp.bfloat16)
+            ee_b = lambda v, m: sph._join(
+                sph.d2ee_pallas_hisq(p3b, sph._split(v), m))
+            return ee, dd, ee_b
     return (lambda v, m: sfst.d2ee3_fast(f3, v, m),
             lambda v: sfst.d2dd3_fast(f3, v, parity=0),
             None)

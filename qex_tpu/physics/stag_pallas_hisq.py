@@ -101,6 +101,26 @@ def new_pallas_hisq(s, links_dtype=jnp.float32) -> PallasStag3EO:
                       links_dtype))
 
 
+def new_pallas_stag8(s, links_dtype=jnp.float32) -> PallasStag3EO:
+    """8-term PLAIN staggered operator in the same streamed kernel
+    structure (naik terms absent; the kernel infers the term count
+    from the link array's leading axis).  Alternative to
+    stag_pallas3's manual-DMA v3: no YX % 128 or full-Z VMEM-fit
+    constraint, and the z-vectorized term loop converts bf16 links
+    cheaply enough that the bf16 variant WINS (v3's is VPU-bound)."""
+    if not isinstance(s, sf.FastStagEO):
+        s = sf.new_fast(s)
+
+    def build(g_out, g_src, parity_out):
+        c1 = [sf.shift_fast(_adj(g_src[mu]), mu, -1, parity_out, s.lat)
+              for mu in range(4)]
+        l = jnp.concatenate([0.5 * g_out, -0.5 * jnp.stack(c1)])
+        return jnp.swapaxes(_split(l, links_dtype), 0, 1)
+
+    return PallasStag3EO(s.lat, build(s.g_e, s.g_o, 0),
+                         build(s.g_o, s.g_e, 1))
+
+
 def fits(lat: Lattice, links_dtype=jnp.float32, nzb: int = 8) -> bool:
     """Geometry constraints of the kernel: even T, Th >= 2 (the t
     index maps stream th+-1, th+-2 blocks), and a z-block of nzb | Z
@@ -116,24 +136,38 @@ def _pick_nzb(Z: int, nzb: int) -> int:
     return Z  # single full-Z block (wrap via the periodic index maps)
 
 
-def _hisq_kernel(X: int, parity_out: int, nzb: int,
-                 l, psi_c, psi_zm, psi_zp, psi_tm, psi_tp,
-                 psi_tmm, psi_tpp, out):
-    """One (th, z-block) tile of the 16-term HISQ hopping term.
+def _hisq_kernel(X: int, parity_out: int, nzb: int, nz: int, naik: bool,
+                 l, psi_c, psi_zm, psi_zp, psi_tm, psi_tp, *rest):
+    """One (th, z-block) tile of the 16-term HISQ hopping term
+    (8-term plain staggered when ``naik`` is False: no dist-3 hops,
+    no tmm/tpp streams).
 
     Block shapes: l (16, 2, 3, 3, 1, nzb, YX); psi_* / out
     (2, 3, 1, nzb, YX).
+
+    Every value is a full (nzb, YX) z-block plane set (full sublane
+    occupancy; per-z (1, YX) slices measured substantially slower on
+    the Wilson kernel, wilson_pallas docstring).  z hops (dist 1 and
+    3) are sublane rolls with the boundary rows selected from the
+    streamed neighbor block.
     """
+    if naik:
+        psi_tmm, psi_tpp, out = rest
+    else:
+        (out,) = rest
     yx = out.shape[-1]
     xg = jax.lax.broadcasted_iota(jnp.int32, (1, yx), 1) % X
     yg = jax.lax.broadcasted_iota(jnp.int32, (1, yx), 1) // X
+    zrow = jax.lax.broadcasted_iota(jnp.int32, (nzb, 1), 0)
+    z_glob = pl.program_id(1) * nzb + zrow
+    s_par = ((parity_out + xg + yg + z_glob) % 2) == 1
 
-    def cvec(ref, zz):
-        return [(ref[0, c, :, zz], ref[1, c, :, zz]) for c in range(3)]
+    def cvec(ref):
+        return [(ref[0, c, 0], ref[1, c, 0]) for c in range(3)]
 
-    def roll_pair(v, sh):
-        sh = sh % yx  # pltpu.roll requires non-negative shifts
-        return tuple(pltpu.roll(x, sh, 1) for x in v)
+    def roll_pair(v, sh, axis=1):
+        sh = sh % (yx if axis == 1 else nzb)
+        return tuple(pltpu.roll(x, sh, axis) for x in v)
 
     def sel_pair(mask, a, b):
         return tuple(jnp.where(mask, xa, xb) for xa, xb in zip(a, b))
@@ -149,13 +183,23 @@ def _hisq_kernel(X: int, parity_out: int, nzb: int,
             m = xg < d
         return [sel_pair(m, bb, aa) for aa, bb in zip(a, b)]
 
-    def matvec(term, vec, zz):
+    def shift_z(vec, nbr, sign, d):
+        """z-shift by d: sublane roll; boundary rows from the streamed
+        neighbor block (pure periodic roll when the block is all of Z)."""
+        sh = (nzb - d) if sign > 0 else d
+        if nz == 1:
+            return [roll_pair(v, sh, 0) for v in vec]
+        m = (zrow >= nzb - d) if sign > 0 else (zrow < d)
+        return [sel_pair(m, roll_pair(w, sh, 0), roll_pair(v, sh, 0))
+                for v, w in zip(vec, nbr)]
+
+    def matvec(term, vec):
         res = []
         for a in range(3):
             rr = ri = None
             for b in range(3):
-                ar = l[term, 0, a, b, :, zz].astype(jnp.float32)
-                ai = l[term, 1, a, b, :, zz].astype(jnp.float32)
+                ar = l[term, 0, a, b, 0].astype(jnp.float32)
+                ai = l[term, 1, a, b, 0].astype(jnp.float32)
                 vr, vi = vec[b]
                 tr = ar * vr - ai * vi
                 ti = ar * vi + ai * vr
@@ -170,52 +214,40 @@ def _hisq_kernel(X: int, parity_out: int, nzb: int,
         return [(ar + r, ai + i)
                 for (ar, ai), (r, i) in zip(acc, vec)]
 
-    for zz in range(nzb):
-        z_glob = pl.program_id(1) * nzb + zz
-        s_par = ((parity_out + xg + yg + z_glob) % 2) == 1
+    psi = cvec(psi_c)
+    zm, zp = cvec(psi_zm), cvec(psi_zp)
+    tm, tp = cvec(psi_tm), cvec(psi_tp)
+    tmm, tpp = (cvec(psi_tmm), cvec(psi_tpp)) if naik else (None, None)
 
-        def zplane(pz):
-            """psi at block-relative plane pz in [-3, nzb+2]."""
-            if 0 <= pz < nzb:
-                return cvec(psi_c, pz)
-            if pz < 0:
-                return cvec(psi_zm, pz + nzb)
-            return cvec(psi_zp, pz - nzb)
-
-        psi = zplane(zz)
-        tm, tp = cvec(psi_tm, zz), cvec(psi_tp, zz)
-        tmm, tpp = cvec(psi_tmm, zz), cvec(psi_tpp, zz)
-
-        acc = None
-        for term in range(16):
-            kind, mu = divmod(term, 4)
-            fwd = kind in (0, 2)
-            d = 1 if kind < 2 else 3
-            if mu == 0:
-                vec = shift_x(psi, +1 if fwd else -1, d)
-            elif mu == 1:
-                vec = [roll_pair(v, (-d if fwd else d) * X)
-                       for v in psi]
-            elif mu == 2:
-                vec = zplane(zz + d if fwd else zz - d)
+    acc = None
+    for term in range(16 if naik else 8):
+        kind, mu = divmod(term, 4)
+        fwd = kind in (0, 2)
+        d = 1 if kind < 2 else 3
+        if mu == 0:
+            vec = shift_x(psi, +1 if fwd else -1, d)
+        elif mu == 1:
+            vec = [roll_pair(v, (-d if fwd else d) * X) for v in psi]
+        elif mu == 2:
+            vec = shift_z(psi, zp if fwd else zm, +1 if fwd else -1, d)
+        else:
+            # t hop: global t = 2 th + b, b = (parity+x+y+z) % 2
+            # (stag_fast.shift_fast dist 1/3 select logic)
+            if d == 1:
+                vec = ([sel_pair(s_par, p, c)
+                        for p, c in zip(tp, psi)] if fwd else
+                       [sel_pair(s_par, c, m)
+                        for c, m in zip(psi, tm)])
             else:
-                # t hop: global t = 2 th + b, b = (parity+x+y+z) % 2
-                # (stag_fast.shift_fast dist 1/3 select logic)
-                if d == 1:
-                    vec = ([sel_pair(s_par, p, c)
-                            for p, c in zip(tp, psi)] if fwd else
-                           [sel_pair(s_par, c, m)
-                            for c, m in zip(psi, tm)])
-                else:
-                    vec = ([sel_pair(s_par, pp, p)
-                            for pp, p in zip(tpp, tp)] if fwd else
-                           [sel_pair(s_par, m, mm)
-                            for m, mm in zip(tm, tmm)])
-            acc = axpy(acc, matvec(term, vec, zz))
+                vec = ([sel_pair(s_par, pp, p)
+                        for pp, p in zip(tpp, tp)] if fwd else
+                       [sel_pair(s_par, m, mm)
+                        for m, mm in zip(tm, tmm)])
+        acc = axpy(acc, matvec(term, vec))
 
-        for c in range(3):
-            out[0, c, :, zz] = acc[c][0]
-            out[1, c, :, zz] = acc[c][1]
+    for c in range(3):
+        out[0, c, 0] = acc[c][0]
+        out[1, c, 0] = acc[c][1]
 
 
 def dslash_pallas_hisq(s: PallasStag3EO, x_split: jax.Array,
@@ -229,12 +261,14 @@ def dslash_pallas_hisq(s: PallasStag3EO, x_split: jax.Array,
     nzb = _pick_nzb(Z, nzb)
     nz = Z // nzb
     l = s.l_e if parity_out == 0 else s.l_o
+    nterms = l.shape[0]
+    naik = nterms == 16
 
     spin = lambda im: pl.BlockSpec((2, 3, 1, nzb, YX), im,
                                    memory_space=pltpu.VMEM)
     grid = (Th, nz)
     in_specs = [
-        pl.BlockSpec((16, 2, 3, 3, 1, nzb, YX),
+        pl.BlockSpec((nterms, 2, 3, 3, 1, nzb, YX),
                      lambda th, z: (0, 0, 0, 0, th, z, 0),
                      memory_space=pltpu.VMEM),
         spin(lambda th, z: (0, 0, th, z, 0)),                  # psi_c
@@ -242,23 +276,29 @@ def dslash_pallas_hisq(s: PallasStag3EO, x_split: jax.Array,
         spin(lambda th, z: (0, 0, th, (z + 1) % nz, 0)),       # psi_zp
         spin(lambda th, z: (0, 0, (th - 1) % Th, z, 0)),       # psi_tm
         spin(lambda th, z: (0, 0, (th + 1) % Th, z, 0)),       # psi_tp
-        spin(lambda th, z: (0, 0, (th - 2) % Th, z, 0)),       # psi_tmm
-        spin(lambda th, z: (0, 0, (th + 2) % Th, z, 0)),       # psi_tpp
     ]
+    ops = [l] + [x_split] * 5
+    if naik:
+        in_specs += [
+            spin(lambda th, z: (0, 0, (th - 2) % Th, z, 0)),   # psi_tmm
+            spin(lambda th, z: (0, 0, (th + 2) % Th, z, 0)),   # psi_tpp
+        ]
+        ops += [x_split, x_split]
     out_spec = pl.BlockSpec((2, 3, 1, nzb, YX),
                             lambda th, z: (0, 0, th, z, 0),
                             memory_space=pltpu.VMEM)
 
-    flops = 1152 * (lat.volume // 2)
+    flops = (1152 if naik else 594) * (lat.volume // 2)
     lbytes = 2 if l.dtype == jnp.bfloat16 else 4
-    bytes_acc = (16 * 18 * lbytes + 9 * 24) * (lat.volume // 2)
+    bytes_acc = ((nterms * 18 * lbytes + (9 if naik else 7) * 24)
+                 * (lat.volume // 2))
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
-        partial(_hisq_kernel, X, parity_out, nzb),
+        partial(_hisq_kernel, X, parity_out, nzb, nz, naik),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
@@ -268,7 +308,7 @@ def dslash_pallas_hisq(s: PallasStag3EO, x_split: jax.Array,
                                       transcendentals=0),
         interpret=interpret,
         **kwargs,
-    )(l, x_split, x_split, x_split, x_split, x_split, x_split, x_split)
+    )(*ops)
 
 
 def d2ee_pallas_hisq(s: PallasStag3EO, x_e_split: jax.Array, m: float,

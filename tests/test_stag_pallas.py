@@ -136,3 +136,24 @@ def test_pallas_hisq_zblocked_and_d2(setup3):
     dev = float(jnp.sum(jnp.abs(gotdd - refdd) ** 2)
                 / jnp.sum(jnp.abs(refdd) ** 2))
     assert dev < 1e-12
+
+
+def test_pallas_stag8_matches_fast(setup):
+    """8-term plain-staggered variant of the streamed kernel
+    (new_pallas_stag8: no naik terms, no tmm/tpp streams)."""
+    from qex_tpu.physics import stag_pallas_hisq as sph
+    lat, s, xf = setup
+    p8 = sph.new_pallas_stag8(s)
+    for parity in (0, 1):
+        ref = sf.dslash_fast(s, xf, parity)
+        got = sph.dslash_pallas_hisq_c(p8, xf, parity, interpret=True)
+        dev = float(jnp.sum(jnp.abs(got - ref) ** 2)
+                    / jnp.sum(jnp.abs(ref) ** 2))
+        assert dev < 1e-12, (parity, dev)
+    m = 0.25
+    ref = sf.d2ee_fast(s, xf, m)
+    got = sph._join(sph.d2ee_pallas_hisq(p8, sph._split(xf), m,
+                                         interpret=True))
+    dev = float(jnp.sum(jnp.abs(got - ref) ** 2)
+                / jnp.sum(jnp.abs(ref) ** 2))
+    assert dev < 1e-12
