@@ -7,9 +7,10 @@ The metric is the eo staggered Dslash GFLOP/s on a single chip at 32^4,
 using the reference's own flop model (18 + nd*(72+66+6) = 594 flops/site,
 /root/reference/src/physics/stagD.nim:393) so the number is directly
 comparable to QEX's self-reported Gflops.  The timed kernel is the
-PRODUCTION inner-solver operator: the v3 Pallas stencil with bf16 link
-storage + f32 spinors/arithmetic (430 B/site), exactly what the sloppy
-mixed-precision CG iterates; the CG section below proves the TRUE
+PRODUCTION inner-solver operator: the s8 streamed z-vectorized Pallas
+stencil (stag_pallas_hisq.new_pallas_stag8) with bf16 link storage +
+f32 spinors/arithmetic, exactly what the sloppy mixed-precision CG
+iterates; the CG section below proves the TRUE
 residual still reaches 1e-12 via f32 true-residual restarts, and the
 f32-link kernel time is printed alongside for cross-round
 comparability.  The reference publishes no absolute numbers
@@ -139,29 +140,29 @@ def main() -> None:
 
     use_pallas = on_tpu
     if use_pallas:
-        from qex_tpu.physics import stag_pallas3 as sp
+        from qex_tpu.physics import stag_pallas_hisq as sp
 
         @jax.jit
         def make_op(ge, go):
-            """Both link precisions of the v3 kernel: f32 (reference
+            """Both link precisions of the s8 kernel: f32 (reference
             precision) and bf16 (the production sloppy-CG INNER
-            operator -- bf16 link storage, f32 spinors/arithmetic,
-            430 B/site traffic; true residuals are restored by the f32
-            true-residual restarts, proven in the CG section below)."""
-            pf = sp.new_pallas3(sf.FastStagEO(lat, ge, go))
-            pb = sp.new_pallas3(sf.FastStagEO(lat, ge, go),
-                                links_dtype=jnp.bfloat16)
+            operator -- bf16 link storage, f32 spinors/arithmetic;
+            true residuals are restored by the f32 true-residual
+            restarts, proven in the CG section below)."""
+            pf = sp.new_pallas_stag8(sf.FastStagEO(lat, ge, go))
+            pb = sp.new_pallas_stag8(sf.FastStagEO(lat, ge, go),
+                                     links_dtype=jnp.bfloat16)
             return pf.l_e, pf.l_o, pb.l_e, pb.l_o
 
         @jax.jit
         def chain(le, lo, v):
-            """iters dependent d2ee applications (fused v3 Pallas
+            """iters dependent d2ee applications (fused s8 streamed
             stencil kernel); returns a real scalar."""
-            so = sp.PallasStagEO3(lat, le, lo)
+            so = sp.PallasStag3EO(lat, le, lo)
             vs = sp._split(v)
 
             def body(vs, _):
-                w = sp.d2ee_pallas3(so, vs, mass)
+                w = sp.d2ee_pallas_hisq(so, vs, mass)
                 w = w / jnp.sqrt(jnp.sum(w * w))
                 return w, None
 
@@ -267,10 +268,10 @@ def main() -> None:
                 iterations + f32 TRUE-residual restarts -- proves the
                 headline kernel's CG residual is unchanged (the
                 VERDICT item-3 'residual unchanged' condition)."""
-                so = sp.PallasStagEO3(lat, lbe2, lbo2)
+                so = sp.PallasStag3EO(lat, lbe2, lbo2)
                 fs2 = sf.FastStagEO(lat, fge, fgo)
                 op = lambda v: sp._join(
-                    sp.d2ee_pallas3(so, sp._split(v), mass))
+                    sp.d2ee_pallas_hisq(so, sp._split(v), mass))
                 op_true = lambda v: sf.d2ee_fast(fs2, v, mass)
                 # restarts=5: each bf16-inner defect correction gains
                 # ~1e-5 in true residual; the converged short-circuit

@@ -22,6 +22,7 @@ def main():
     from qex_tpu.lattice import Lattice
     from qex_tpu.ops import group, linalg
     from qex_tpu.physics import stag_fast as sf
+    from qex_tpu.physics import stag_pallas as sp1
     from qex_tpu.physics import stag_pallas3 as sp3
     from qex_tpu.physics import stag_pallas_hisq as sph
     from qex_tpu.physics import staggered as st
@@ -53,18 +54,23 @@ def main():
     def make_links(ge, go, kind, bf16):
         ldt = jnp.bfloat16 if bf16 else jnp.float32
         f = sf.FastStagEO(lat, ge, go)
-        p = (sp3.new_pallas3(f, links_dtype=ldt) if kind == "v3"
-             else sph.new_pallas_stag8(f, links_dtype=ldt))
+        p = {"v3": lambda: sp3.new_pallas3(f, links_dtype=ldt),
+             "v1": lambda: sp1.new_pallas(f, links_dtype=ldt),
+             "s8": lambda: sph.new_pallas_stag8(f, links_dtype=ldt),
+             }[kind]()
+        if kind == "v1":
+            return p.g_e, p.g_o
         return p.l_e, p.l_o
 
     def chain_fn(kind):
-        dslash = (sp3.dslash_pallas3 if kind == "v3"
-                  else sph.dslash_pallas_hisq)
+        dslash = {"v3": sp3.dslash_pallas3, "v1": sp1.dslash_pallas,
+                  "s8": sph.dslash_pallas_hisq}[kind]
 
         @jax.jit
         def chain(le, lo, v):
-            so = (sp3.PallasStagEO3(lat, le, lo) if kind == "v3"
-                  else sph.PallasStag3EO(lat, le, lo))
+            so = {"v3": lambda: sp3.PallasStagEO3(lat, le, lo),
+                  "v1": lambda: sp1.PallasStagEO(lat, le, lo),
+                  "s8": lambda: sph.PallasStag3EO(lat, le, lo)}[kind]()
             vs = jnp.stack([v, jnp.zeros_like(v)])
 
             def body(vs, _):
@@ -81,22 +87,26 @@ def main():
     ge, go, x = setup(jax.random.PRNGKey(11))
 
     # correctness cross-check on chip (s8 vs v3, f32)
+    ref_kind = "v3" if sp3.fits(lat) else "v1"
+
     @jax.jit
     def cross(ge_, go_, v):
         f = sf.FastStagEO(lat, ge_, go_)
-        p3 = sp3.new_pallas3(f)
         p8 = sph.new_pallas_stag8(f)
         vs = jnp.stack([v, jnp.zeros_like(v)])
-        a = sp3.dslash_pallas3(p3, vs, 0)
+        if ref_kind == "v3":
+            a = sp3.dslash_pallas3(sp3.new_pallas3(f), vs, 0)
+        else:
+            a = sp1.dslash_pallas(sp1.new_pallas(f), vs, 0)
         b = sph.dslash_pallas_hisq(p8, vs, 0)
         return (jnp.sum((a - b) ** 2) / jnp.sum(a * a)).astype(
             jnp.float32)
 
     dev = float(cross(ge, go, x))
-    print(f"s8-vs-v3 rel dev: {dev:.3e}", flush=True)
+    print(f"s8-vs-{ref_kind} rel dev: {dev:.3e}", flush=True)
     assert dev < 1e-10, dev
 
-    for kind in ("v3", "s8"):
+    for kind in (ref_kind, "s8"):
         for bf16 in (False, True):
             le, lo = make_links(ge, go, kind, bf16)
             ch = chain_fn(kind)

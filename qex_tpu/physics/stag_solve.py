@@ -32,12 +32,13 @@ from . import staggered as st
 
 def _use_pallas(lat) -> bool:
     """Route through the fused Pallas stencil kernel on TPU when the
-    geometry satisfies the Mosaic block constraints (Z divisible by
-    the z-block, even T)."""
+    geometry satisfies the kernel constraints (even packable T; the
+    streamed s8/HISQ kernel falls back to one full-Z block when Z is
+    not divisible by the default z-block)."""
     if jax.default_backend() in ("cpu",):
         return False
-    X, Y, Z, T = lat.dims
-    return T % 2 == 0 and Z % 8 == 0
+    from . import stag_pallas_hisq as sph
+    return sph.fits(lat)
 
 
 def solve_ee(s: st.StaggeredEO, b_e: jax.Array, m: float,
@@ -74,10 +75,13 @@ def solve_ee(s: st.StaggeredEO, b_e: jax.Array, m: float,
                 inner_r2req_floor=floor)
             return sf.from_fast(xf, s.lat), stats
         if _use_pallas(s.lat):
-            # v3 (pre-shifted links, full-Z blocks, manual link DMA,
-            # 672 B/site) when it fits VMEM; z-blocked v1 otherwise
-            from . import stag_pallas3 as sp3
-            v3 = sp3.fits(s.lat)
+            # s8: the z-vectorized streamed 8-term kernel
+            # (stag_pallas_hisq.new_pallas_stag8) -- measured fastest
+            # at every volume in BOTH precisions (32^4: 448/641 GF/s
+            # f32/bf16 vs v3's 438/610; 24^4: 263/323 vs v1's 155/133,
+            # exp_s8.py same-process A/Bs), with no YX % 128 or
+            # full-Z VMEM-fit constraint.
+            from . import stag_pallas_hisq as sph
             if params.sloppy:
                 # bf16-link inner iterations + f32 true-residual
                 # restarts; inner tolerance pinned at the bf16 noise
@@ -85,24 +89,14 @@ def solve_ee(s: st.StaggeredEO, b_e: jax.Array, m: float,
                 # iterations than pure f32 at equal true residual)
                 op_true = partial(sf.d2ee_fast, fs, m=m)
                 floor = 1e-5
-                if v3:
-                    psb = sp3.new_pallas3(fs, links_dtype=jnp.bfloat16)
-                    op = lambda v: sp3._join(
-                        sp3.d2ee_pallas3(psb, sp3._split(v), m))
-                else:
-                    from . import stag_pallas as sp
-                    psb = sp.new_pallas(fs, links_dtype=jnp.bfloat16)
-                    op = lambda v: sp._join(
-                        sp.d2ee_pallas(psb, sp._split(v), m))
-            elif v3:
-                ps = sp3.new_pallas3(fs)
-                op = lambda v: sp3._join(
-                    sp3.d2ee_pallas3(ps, sp3._split(v), m))
+                psb = sph.new_pallas_stag8(fs,
+                                           links_dtype=jnp.bfloat16)
+                op = lambda v: sph._join(
+                    sph.d2ee_pallas_hisq(psb, sph._split(v), m))
             else:
-                from . import stag_pallas as sp
-                ps = sp.new_pallas(fs)
-                op = lambda v: sp._join(
-                    sp.d2ee_pallas(ps, sp._split(v), m))
+                ps = sph.new_pallas_stag8(fs)
+                op = lambda v: sph._join(
+                    sph.d2ee_pallas_hisq(ps, sph._split(v), m))
         else:
             op = partial(sf.d2ee_fast, fs, m=m)
         xf, stats = cg.cg_solve_restarted(op, bf, r2req=params.r2req,
@@ -178,28 +172,19 @@ def solve_multi(s: st.StaggeredEO, b_e: jax.Array, masses: list[float],
                 _, base_sloppy = sh.ops8(params.mesh, fs,
                                          links_dtype=jnp.bfloat16)
         elif _use_pallas(s.lat):
-            from . import stag_pallas3 as sp3
-            if sp3.fits(s.lat):
-                ps = sp3.new_pallas3(fs)
-                base = lambda v: sp3._join(
-                    sp3.d2dd_pallas3(ps, sp3._split(v), 0))
-                if params.sloppy and sloppy_ok:
-                    # bf16-link sloppy pass + per-shift f32
-                    # true-residual refinement (QEX sloppySolve for
-                    # the multimass path)
-                    psb = sp3.new_pallas3(fs, links_dtype=jnp.bfloat16)
-                    base_sloppy = lambda v: sp3._join(
-                        sp3.d2dd_pallas3(psb, sp3._split(v), 0))
-            else:
-                from . import stag_pallas as sp
-                p1 = sp.new_pallas(fs)
-                # d2ee at m=0 is exactly the shift-free base -D_eo D_oe
-                base = lambda v: sp._join(
-                    sp.d2ee_pallas(p1, sp._split(v), 0.0))
-                if params.sloppy and sloppy_ok:
-                    pb = sp.new_pallas(fs, links_dtype=jnp.bfloat16)
-                    base_sloppy = lambda v: sp._join(
-                        sp.d2ee_pallas(pb, sp._split(v), 0.0))
+            # s8 streamed kernel (see solve_ee routing note)
+            from . import stag_pallas_hisq as sph
+            ps = sph.new_pallas_stag8(fs)
+            base = lambda v: sph._join(
+                sph.d2dd_pallas_hisq(ps, sph._split(v), 0))
+            if params.sloppy and sloppy_ok:
+                # bf16-link sloppy pass + per-shift f32
+                # true-residual refinement (QEX sloppySolve for
+                # the multimass path)
+                psb = sph.new_pallas_stag8(fs,
+                                           links_dtype=jnp.bfloat16)
+                base_sloppy = lambda v: sph._join(
+                    sph.d2dd_pallas_hisq(psb, sph._split(v), 0))
         else:
             base = partial(sf.d2dd_fast, fs, parity=0)
         bf = sf.to_fast(b_e, s.lat)
