@@ -19,7 +19,6 @@ from qex_tpu.lattice import Lattice
 from qex_tpu.ops import group, linalg
 from qex_tpu.parallel import make_lattice_mesh
 from qex_tpu.physics import stag_fast as sf
-from qex_tpu.physics import stag_pallas3 as sp3
 from qex_tpu.physics import stag_pallas_hisq as sph
 from qex_tpu.physics import stag_shard as sh
 from qex_tpu.physics import staggered as st
@@ -55,7 +54,7 @@ def main():
         from qex_tpu.ops import eo
         ge, go = eo.pack(g, lat.nd)
         fs = sf.FastStagEO(lat, sf.to_fast(ge, lat), sf.to_fast(go, lat))
-        ps = sp3.new_pallas3(fs)
+        ps = sph.new_pallas_stag8(fs)
         return fs.g_e, fs.g_o, ps.l_e, ps.l_o
 
     ge_f, go_f, l_e, l_o = build(g)
@@ -71,13 +70,13 @@ def main():
 
     @jax.jit
     def f_shard_j(le, lo, v):
-        ps = sp3.PallasStagEO3(lat, le, lo)
+        ps = sph.PallasStag3EO(lat, le, lo)
         return sh.d2ee_sharded(lm, ps, v, m, use_pallas=True)
 
     @jax.jit
     def f_plain_j(le, lo, v):
-        ps = sp3.PallasStagEO3(lat, le, lo)
-        return sp3.d2ee_pallas3(ps, v, m)
+        ps = sph.PallasStag3EO(lat, le, lo)
+        return sph.d2ee_pallas_hisq(ps, v, m)
 
     f_fast = lambda v: f_fast_j(ge_f, go_f, v)
     f_shard = lambda v: f_shard_j(l_e, l_o, v)

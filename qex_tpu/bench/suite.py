@@ -280,7 +280,7 @@ def main(argv=None) -> int:
         # the shard_map KERNEL path (stag_shard): eo normal operator
         # with explicit ppermute surface fixups on a z/t mesh
         from qex_tpu.physics import stag_fast as sfst
-        from qex_tpu.physics import stag_pallas3 as sp3
+        from qex_tpu.physics import stag_pallas_hisq as sp3
         from qex_tpu.physics import stag_shard as shrd
         from qex_tpu.physics import staggered as stg
 
@@ -295,7 +295,7 @@ def main(argv=None) -> int:
             @jax.jit
             def mk_links(uu):
                 s2 = stg.new_stag_eo(lat, uu)
-                p2 = sp3.new_pallas3(sfst.new_fast(s2))
+                p2 = sp3.new_pallas_stag8(sfst.new_fast(s2))
                 return p2.l_e, p2.l_o
 
             le, lo = mk_links(u)
@@ -313,7 +313,7 @@ def main(argv=None) -> int:
 
             @jax.jit
             def st_chain(a, b, xx):
-                p2 = sp3.PallasStagEO3(lat, a, b)
+                p2 = sp3.PallasStag3EO(lat, a, b)
 
                 def body(x, _):
                     w = shrd.d2ee_sharded(lm2, p2, x, 0.1)

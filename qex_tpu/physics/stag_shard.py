@@ -49,7 +49,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..lattice import Lattice
 from ..parallel.mesh import LatticeMesh
 from . import stag_fast as sf
-from . import stag_pallas3 as sp3
+from . import stag_pallas_hisq as sph
 from .stag_pallas import _join, _split
 
 
@@ -75,11 +75,12 @@ def local_lattice(lat: Lattice, sizes) -> Lattice:
 # --- link/vector shardings ---------------------------------------------------
 
 def links_spec(lm: LatticeMesh) -> P:
-    """PartitionSpec of the term-major v3 link array
-    (8, Th, 2, 3, 3, Z, YX): Th rides ax3, Z rides ax2 (ax0/ax1 are
-    size 1 and folded in to keep every mesh axis accounted for)."""
+    """PartitionSpec of the term-major s8 link array
+    (8, 2, 3, 3, Th, Z, YX): Th rides ax3, Z rides ax2 (ax0/ax1 are
+    size 1 and folded in to keep every mesh axis accounted for) --
+    the same layout as the 16-term HISQ array (links3_spec)."""
     n = lm.mesh.axis_names
-    return P(None, (n[3],), None, None, None, (n[2], n[1], n[0]), None)
+    return P(None, None, None, None, (n[3],), (n[2], n[1], n[0]), None)
 
 
 def vec_spec(lm: LatticeMesh) -> P:
@@ -97,33 +98,10 @@ def shard_vec(lm: LatticeMesh, v: jax.Array) -> jax.Array:
 
 
 # --- local single-hop implementations ---------------------------------------
-
-def hop_ref(lat_l: Lattice, l: jax.Array, x_split: jax.Array,
-            parity_out: int) -> jax.Array:
-    """jnp mirror of the v3 kernel on one local block.
-
-    Exact local-periodic semantics of stag_pallas3._dslash3_kernel:
-    out(x) = sum_term l[term](x) . psi(x +- mu), mu = term % 4,
-    + for term < 4, - folded into the stored C links.  Used as the
-    local operator on non-TPU backends and in tests.
-    """
-    xc = (x_split[0] + 1j * x_split[1])
-    out = None
-    for term in range(8):
-        lk = (l[term, :, 0] + 1j * l[term, :, 1]).astype(xc.dtype)
-        mu, sgn = term % 4, (+1 if term < 4 else -1)
-        xs = sf.shift_fast(xc, mu, sgn, parity_out, lat_l)
-        t = jnp.einsum("tabzk,btzk->atzk", lk, xs)
-        out = t if out is None else out + t
-    return jnp.stack([jnp.real(out), jnp.imag(out)]).astype(x_split.dtype)
-
-
-def _hop_pallas(lat_l: Lattice, l: jax.Array, x_split: jax.Array,
-                parity_out: int, interpret: bool) -> jax.Array:
-    ps = sp3.PallasStagEO3(lat_l, l, l)  # dslash picks by parity; pass same
-    return sp3.dslash_pallas3(ps, x_split.astype(jnp.float32), parity_out,
-                              interpret=interpret)
-
+#
+# One generic set serves both the 8-term (s8, plain staggered) and the
+# 16-term (HISQ fat+naik) kernels: the term count is inferred from the
+# link array's leading axis, exactly as stag_pallas_hisq does.
 
 # --- the surface fixup -------------------------------------------------------
 
@@ -136,97 +114,24 @@ def _pshift(a: jax.Array, axis_name, from_next: bool, n: int) -> jax.Array:
     return jax.lax.ppermute(a, axis_name, perm)
 
 
-def hop_fix(lat_l: Lattice, l: jax.Array, x_split: jax.Array,
-            parity_out: int, out: jax.Array, names, sizes) -> jax.Array:
-    """Add the exact boundary correction to a local-periodic hop.
-
-    l: (8, Th, 2, 3, 3, Z, YX) local block; x_split/out (2, 3, Th, Z,
-    YX).  Terms fixed: 2/6 (z fwd/bwd) when ax2 is sharded, 3/7
-    (t fwd/bwd, masked by the eo parity select) when ax3 is sharded.
-    """
-    X = lat_l.dims[0]
-    Zl = x_split.shape[-2]
-    Thl = x_split.shape[-3]
-    xc = (x_split[0] + 1j * x_split[1])          # (3, Th, Z, YX)
-    cdt = xc.dtype
-
-    def addc(o, idx, val):
-        return o.at[(0,) + idx].add(jnp.real(val).astype(o.dtype)) \
-                .at[(1,) + idx].add(jnp.imag(val).astype(o.dtype))
-
-    if sizes[2] > 1:
-        # z forward (term 2): at local z = Zl-1 kernel wrapped to own
-        # plane 0; true neighbor value is the NEXT shard's plane 0.
-        face = xc[:, :, 0]                        # (3, Th, YX)
-        delta = _pshift(face, names[2], True, sizes[2]) - face
-        lk = (l[2, :, 0, :, :, Zl - 1] + 1j * l[2, :, 1, :, :, Zl - 1]
-              ).astype(cdt)                       # (Th, 3, 3, YX)
-        out = addc(out, (slice(None), slice(None), Zl - 1),
-                   jnp.einsum("tabk,btk->atk", lk, delta))
-        # z backward (term 6): at z = 0 wrapped to own plane Zl-1.
-        face = xc[:, :, Zl - 1]
-        delta = _pshift(face, names[2], False, sizes[2]) - face
-        lk = (l[6, :, 0, :, :, 0] + 1j * l[6, :, 1, :, :, 0]).astype(cdt)
-        out = addc(out, (slice(None), slice(None), 0),
-                   jnp.einsum("tabk,btk->atk", lk, delta))
-
-    if sizes[3] > 1:
-        # the kernel's eo parity select mask on a (Z, YX) plane
-        yx = jax.lax.broadcasted_iota(jnp.int32, (Zl, x_split.shape[-1]), 1)
-        zg = jax.lax.broadcasted_iota(jnp.int32, (Zl, x_split.shape[-1]), 0)
-        s_par = ((parity_out + yx % X + yx // X + zg) % 2) == 1
-        # t forward (term 3): psi(x+t) = sel(s, psi[th+1], psi[th]);
-        # wrong only at th = Thl-1 where s holds (wrapped to own th 0).
-        face = xc[:, 0]                           # (3, Z, YX)
-        delta = jnp.where(s_par, _pshift(face, names[3], True, sizes[3])
-                          - face, 0.0)
-        lk = (l[3, Thl - 1, 0] + 1j * l[3, Thl - 1, 1]).astype(cdt)
-        out = addc(out, (slice(None), Thl - 1),
-                   jnp.einsum("abzk,bzk->azk", lk, delta))
-        # t backward (term 7): psi(x-t) = sel(s, psi[th], psi[th-1]);
-        # wrong at th = 0 where s does NOT hold (wrapped to own last).
-        face = xc[:, Thl - 1]
-        delta = jnp.where(s_par, 0.0,
-                          _pshift(face, names[3], False, sizes[3]) - face)
-        lk = (l[7, 0, 0] + 1j * l[7, 0, 1]).astype(cdt)
-        out = addc(out, (slice(None), 0),
-                   jnp.einsum("abzk,bzk->azk", lk, delta))
-    return out
-
-
 # --- sharded operators -------------------------------------------------------
 
-def _hop_body(lat_l, names, sizes, impl, l, x_split, parity_out):
-    y = impl(lat_l, l, x_split, parity_out)
-    return hop_fix(lat_l, l, x_split, parity_out, y, names, sizes)
-
-
-def _pick_impl(use_pallas, interpret, lat_l=None):
-    if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu"
-                      and (lat_l is None or sp3.fits(lat_l)))
-    if use_pallas:
-        return partial(_hop_pallas, interpret=interpret)
-    return hop_ref
-
-
-def d2ee_sharded(lm: LatticeMesh, ps: sp3.PallasStagEO3,
-                 x_split: jax.Array, m: float, use_pallas=None,
-                 interpret: bool = False) -> jax.Array:
+def d2ee_sharded(lm: LatticeMesh, ps, x_split: jax.Array, m: float,
+                 use_pallas=None, interpret: bool = False) -> jax.Array:
     """(m^2 - D_eo D_oe) x on the sharded mesh via two corrected hops.
 
-    ``ps`` holds GLOBAL term-major links (build with
-    stag_pallas3.new_pallas3 under jit on sharded inputs); x_split is a
-    split-real fast vector.  Jit the caller; arrays should carry
-    links_spec/vec_spec shardings.
+    ``ps`` holds GLOBAL term-major s8 links (build with
+    stag_pallas_hisq.new_pallas_stag8 under jit on sharded inputs);
+    x_split is a split-real fast vector.  Jit the caller; arrays should
+    carry links_spec/vec_spec shardings.
     """
     names, sizes = _mesh_info(lm)
     lat_l = local_lattice(lm.lat, sizes)
-    impl = _pick_impl(use_pallas, interpret, lat_l)
+    impl = _pick_impl3(use_pallas, interpret, lat_l)
 
     def body(l_e, l_o, x):
-        t = _hop_body(lat_l, names, sizes, impl, l_o, x, 1)
-        y = _hop_body(lat_l, names, sizes, impl, l_e, t, 0)
+        t = _hop3_body(lat_l, names, sizes, impl, l_o, x, 1)
+        y = _hop3_body(lat_l, names, sizes, impl, l_e, t, 0)
         return (m * m) * x - y
 
     fn = shard_map(body, mesh=lm.mesh,
@@ -236,20 +141,20 @@ def d2ee_sharded(lm: LatticeMesh, ps: sp3.PallasStagEO3,
     return fn(ps.l_e, ps.l_o, x_split)
 
 
-def d2dd_sharded(lm: LatticeMesh, ps: sp3.PallasStagEO3,
-                 x_split: jax.Array, parity: int = 0, use_pallas=None,
+def d2dd_sharded(lm: LatticeMesh, ps, x_split: jax.Array,
+                 parity: int = 0, use_pallas=None,
                  interpret: bool = False) -> jax.Array:
     """Mass-free normal operator -D D on the sharded mesh
     (multishift base)."""
     names, sizes = _mesh_info(lm)
     lat_l = local_lattice(lm.lat, sizes)
-    impl = _pick_impl(use_pallas, interpret, lat_l)
+    impl = _pick_impl3(use_pallas, interpret, lat_l)
 
     def body(l_e, l_o, x):
         lo_first = l_o if parity == 0 else l_e
         lo_second = l_e if parity == 0 else l_o
-        t = _hop_body(lat_l, names, sizes, impl, lo_first, x, 1 - parity)
-        return -_hop_body(lat_l, names, sizes, impl, lo_second, t, parity)
+        t = _hop3_body(lat_l, names, sizes, impl, lo_first, x, 1 - parity)
+        return -_hop3_body(lat_l, names, sizes, impl, lo_second, t, parity)
 
     fn = shard_map(body, mesh=lm.mesh,
                    in_specs=(links_spec(lm), links_spec(lm), vec_spec(lm)),
@@ -297,8 +202,8 @@ def ops8(lm: LatticeMesh, fs, links_dtype=None, use_pallas=None,
     lat = fs.lat
 
     def mk(ld):
-        p = sp3.new_pallas3(fs, links_dtype=ld)
-        return sp3.PallasStagEO3(lat, shard_links(lm, p.l_e),
+        p = sph.new_pallas_stag8(fs, links_dtype=ld)
+        return sph.PallasStag3EO(lat, shard_links(lm, p.l_e),
                                  shard_links(lm, p.l_o))
 
     ps = mk(links_dtype if links_dtype is not None else jnp.float64)
@@ -364,12 +269,13 @@ def hop3_ref(lat_l: Lattice, l: jax.Array, x_split: jax.Array,
              parity_out: int) -> jax.Array:
     """jnp mirror of stag_pallas_hisq._hisq_kernel on one local block.
 
-    l: (16, 2, 3, 3, Th, Z, YX) term-major links, term = kind*4 + mu
-    with kind 0/1 = fat fwd/bwd (dist 1), 2/3 = long fwd/bwd (dist 3).
+    l: (nterms, 2, 3, 3, Th, Z, YX) term-major links, term =
+    kind*4 + mu with kind 0/1 = fat fwd/bwd (dist 1), 2/3 = long
+    fwd/bwd (dist 3); nterms = 8 is the plain staggered (s8) operator.
     """
     xc = (x_split[0] + 1j * x_split[1])
     out = None
-    for term in range(16):
+    for term in range(l.shape[0]):
         kind, mu = divmod(term, 4)
         sgn = +1 if kind in (0, 2) else -1
         d = 1 if kind < 2 else 3
@@ -394,8 +300,13 @@ def hop3_fix(lat_l: Lattice, l: jax.Array, x_split: jax.Array,
 
     Fixes terms 2/6 (fat z), 10/14 (long z, 3-plane halos), 3/7
     (fat t), 11/15 (long t: packed th moves by 1 or 2 under the eo
-    parity select, stag_fast.shift_fast dist=3 logic).
+    parity select, stag_fast.shift_fast dist=3 logic).  With an 8-term
+    (s8) link array only the fat terms exist and the halo slabs are a
+    single plane.
     """
+    naik = l.shape[0] == 16
+    zs = 3 if naik else 1      # z slab depth
+    ts = 2 if naik else 1      # packed-t slab depth
     X = lat_l.dims[0]
     Zl = x_split.shape[-2]
     Thl = x_split.shape[-3]
@@ -411,9 +322,9 @@ def hop3_fix(lat_l: Lattice, l: jax.Array, x_split: jax.Array,
                 .at[(1,) + idx].add(jnp.imag(val).astype(o.dtype))
 
     if sizes[2] > 1:
-        # one 3-plane slab each way serves dist 1 and dist 3
-        lo = xc[:, :, 0:3]                        # (3, Th, 3, YX)
-        hi = xc[:, :, Zl - 3:Zl]
+        # one zs-plane slab each way serves dist 1 (and dist 3)
+        lo = xc[:, :, 0:zs]                       # (3, Th, zs, YX)
+        hi = xc[:, :, Zl - zs:Zl]
         d_lo = _pshift(lo, names[2], True, sizes[2]) - lo
         d_hi = _pshift(hi, names[2], False, sizes[2]) - hi
         # fat z fwd (term 2) at plane Zl-1 <- delta plane 0
@@ -425,25 +336,27 @@ def hop3_fix(lat_l: Lattice, l: jax.Array, x_split: jax.Array,
         out = addc(out, (slice(None), slice(None), 0),
                    jnp.einsum("abtk,btk->atk",
                               lkc(6, slice(None), slice(None),
-                                  slice(None), 0), d_hi[:, :, 2]))
-        # long z fwd (term 10): planes Zl-3..Zl-1 <- delta planes 0..2
-        out = addc(out, (slice(None), slice(None), slice(Zl - 3, Zl)),
-                   jnp.einsum("abtzk,btzk->atzk",
-                              lkc(10, slice(None), slice(None),
-                                  slice(None), slice(Zl - 3, Zl)), d_lo))
-        # long z bwd (term 14): planes 0..2 <- delta planes Zl-3..Zl-1
-        out = addc(out, (slice(None), slice(None), slice(0, 3)),
-                   jnp.einsum("abtzk,btzk->atzk",
-                              lkc(14, slice(None), slice(None),
-                                  slice(None), slice(0, 3)), d_hi))
+                                  slice(None), 0), d_hi[:, :, zs - 1]))
+        if naik:
+            # long z fwd (term 10): planes Zl-3..Zl-1 <- deltas 0..2
+            out = addc(out, (slice(None), slice(None), slice(Zl - 3, Zl)),
+                       jnp.einsum("abtzk,btzk->atzk",
+                                  lkc(10, slice(None), slice(None),
+                                      slice(None), slice(Zl - 3, Zl)),
+                                  d_lo))
+            # long z bwd (term 14): planes 0..2 <- deltas Zl-3..Zl-1
+            out = addc(out, (slice(None), slice(None), slice(0, 3)),
+                       jnp.einsum("abtzk,btzk->atzk",
+                                  lkc(14, slice(None), slice(None),
+                                      slice(None), slice(0, 3)), d_hi))
 
     if sizes[3] > 1:
         yx = jax.lax.broadcasted_iota(jnp.int32, (Zl, x_split.shape[-1]), 1)
         zg = jax.lax.broadcasted_iota(jnp.int32, (Zl, x_split.shape[-1]), 0)
         s_par = ((parity_out + yx % X + yx // X + zg) % 2) == 1
-        # 2-plane packed-t slabs each way serve dist 1 and dist 3
-        lo = xc[:, 0:2]                           # (3, 2, Z, YX)
-        hi = xc[:, Thl - 2:Thl]
+        # ts-plane packed-t slabs each way serve dist 1 (and dist 3)
+        lo = xc[:, 0:ts]                          # (3, ts, Z, YX)
+        hi = xc[:, Thl - ts:Thl]
         d_lo = _pshift(lo, names[3], True, sizes[3]) - lo
         d_hi = _pshift(hi, names[3], False, sizes[3]) - hi
         z = jnp.zeros_like(d_lo[:, 0])
@@ -458,14 +371,15 @@ def hop3_fix(lat_l: Lattice, l: jax.Array, x_split: jax.Array,
         # wrapped only at th = Thl-1 where s holds
         out = fix_t(3, Thl - 1, jnp.where(s_par, d_lo[:, 0], z))
         # fat t bwd (term 7): sel(s, psi[th], psi[th-1]); th = 0, !s
-        out = fix_t(7, 0, jnp.where(s_par, z, d_hi[:, 1]))
-        # long t fwd (term 11): sel(s, psi[th+2], psi[th+1])
-        out = fix_t(11, Thl - 1,
-                    jnp.where(s_par, d_lo[:, 1], d_lo[:, 0]))
-        out = fix_t(11, Thl - 2, jnp.where(s_par, d_lo[:, 0], z))
-        # long t bwd (term 15): sel(s, psi[th-1], psi[th-2])
-        out = fix_t(15, 0, jnp.where(s_par, d_hi[:, 1], d_hi[:, 0]))
-        out = fix_t(15, 1, jnp.where(s_par, z, d_hi[:, 1]))
+        out = fix_t(7, 0, jnp.where(s_par, z, d_hi[:, ts - 1]))
+        if naik:
+            # long t fwd (term 11): sel(s, psi[th+2], psi[th+1])
+            out = fix_t(11, Thl - 1,
+                        jnp.where(s_par, d_lo[:, 1], d_lo[:, 0]))
+            out = fix_t(11, Thl - 2, jnp.where(s_par, d_lo[:, 0], z))
+            # long t bwd (term 15): sel(s, psi[th-1], psi[th-2])
+            out = fix_t(15, 0, jnp.where(s_par, d_hi[:, 1], d_hi[:, 0]))
+            out = fix_t(15, 1, jnp.where(s_par, z, d_hi[:, 1]))
     return out
 
 
@@ -597,8 +511,8 @@ def solve_ee_sharded(lm: LatticeMesh, s, b_e: jax.Array, m: float,
         # the kernel wants f32; the jnp mirror keeps full precision
         links_dtype = (jnp.float32 if jax.default_backend() == "tpu"
                        else jnp.finfo(b_e.dtype).dtype)
-    ps = sp3.new_pallas3(fs, links_dtype=links_dtype)
-    ps = sp3.PallasStagEO3(lat, shard_links(lm, ps.l_e),
+    ps = sph.new_pallas_stag8(fs, links_dtype=links_dtype)
+    ps = sph.PallasStag3EO(lat, shard_links(lm, ps.l_e),
                            shard_links(lm, ps.l_o))
     bf = shard_vec(lm, _split(sf.to_fast(b_e, lat),
                               jnp.finfo(b_e.dtype).dtype))

@@ -60,7 +60,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from qex_tpu.ops import group, linalg  # noqa: E402
 from qex_tpu.physics import stag_fast as sfst  # noqa: E402
-from qex_tpu.physics import stag_pallas3 as sp3  # noqa: E402
+from qex_tpu.physics import stag_pallas_hisq as sp3  # noqa: E402
 from qex_tpu.physics import stag_shard as shrd  # noqa: E402
 from qex_tpu.physics import staggered as stg  # noqa: E402
 
@@ -71,7 +71,7 @@ u = jnp.stack([group.random_su(jax.random.fold_in(key, i), lat.dims,
                for i in range(lat.nd)])
 s = stg.new_stag_eo(lat, u)
 fs = sfst.new_fast(s)
-ps = sp3.new_pallas3(fs, links_dtype=jnp.float64)
+ps = sp3.new_pallas_stag8(fs, links_dtype=jnp.float64)
 le, lo = np.asarray(ps.l_e), np.asarray(ps.l_o)
 xs_np = rng.normal(size=(2, 3, lat.dims[3] // 2, lat.dims[2],
                          lat.dims[1] * lat.dims[0]))
@@ -85,7 +85,7 @@ xs_g = dist.make_global_field(lm2, lambda i: xs_np[i], 0, xs_np.shape,
 # multi-process rule: global arrays must be jit ARGUMENTS (a captured
 # constant would need the full value on every process)
 got_v = jax.jit(lambda a, b, v: shrd.d2ee_sharded(
-    lm2, sp3.PallasStagEO3(lat, a, b), v, 0.1))(le_g, lo_g, xs_g)
+    lm2, sp3.PallasStag3EO(lat, a, b), v, 0.1))(le_g, lo_g, xs_g)
 # reference on process-local replicated arrays, then compare globally
 xc = jnp.asarray(xs_np[0] + 1j * xs_np[1])
 ref = sfst.d2ee_fast(fs, xc, 0.1)

@@ -4,7 +4,7 @@ Proves on the 8-device CPU mesh that the local-periodic single-hop
 operator plus the exact surface correction reproduces the global fast
 operator bit-tight -- the structure that carries the Pallas kernel
 multi-chip (GSPMD cannot partition a pallas_call).  The local hop here
-is the jnp mirror (hop_ref), which is separately pinned against the
+is the jnp mirror (hop3_ref), which is separately pinned against the
 real kernel by tests/test_stag_pallas.py's interpret-mode equality.
 
 Reference parity: comm/compute-overlapped halo pipeline inside the hot
@@ -19,7 +19,7 @@ from qex_tpu.lattice import Lattice
 from qex_tpu.ops import eo, group, linalg
 from qex_tpu.parallel import make_lattice_mesh
 from qex_tpu.physics import stag_fast as sf
-from qex_tpu.physics import stag_pallas3 as sp3
+from qex_tpu.physics import stag_pallas_hisq as sph
 from qex_tpu.physics import stag_shard as sh
 from qex_tpu.physics import staggered as st
 from qex_tpu.physics.stag_pallas import _split
@@ -38,8 +38,8 @@ def setup(request):
         for i in range(lat.nd)])
     s = st.new_stag_eo(lat, u)
     fs = sf.new_fast(s)
-    ps = sp3.new_pallas3(fs, links_dtype=jnp.float64)
-    ps_sh = sp3.PallasStagEO3(lat, sh.shard_links(lm, ps.l_e),
+    ps = sph.new_pallas_stag8(fs, links_dtype=jnp.float64)
+    ps_sh = sph.PallasStag3EO(lat, sh.shard_links(lm, ps.l_e),
                               sh.shard_links(lm, ps.l_o))
     x = (jax.random.normal(jax.random.fold_in(key, 9),
                            (lat.nc,) + lat.dims[:-1]
@@ -58,7 +58,7 @@ def test_hop_ref_matches_fast_global(setup):
     xc = xs[0] + 1j * xs[1]
     for parity in (0, 1):
         l = ps.l_e if parity == 0 else ps.l_o
-        got = sh.hop_ref(lat, l, xs, parity)
+        got = sh.hop3_ref(lat, l, xs, parity)
         ref = sf.dslash_fast(fs, xc, parity)
         assert _rel(got[0] + 1j * got[1], ref) < 1e-28
 
