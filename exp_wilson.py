@@ -10,6 +10,7 @@ Usage: python exp_wilson.py [L=24] [T=32] [reps=20]
 
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -110,22 +111,25 @@ def main():
         jax.random.fold_in(key, 21),
         (4, lat.nc) + lat.dims, jnp.float32).astype(jnp.complex64)
     from qex_tpu.solvers.base import SolverParams
-    sp = SolverParams(r2req=1e-12, maxits=1000, restarts=3)
 
-    @jax.jit
-    def solve(ge_, go_, b_):
-        w_ = wl.WilsonEO(lat, ge_, go_, m)
-        xsol, stats = wl.solve_eo(w_, b_, sp)
-        return xsol, stats.iterations, stats.r2
+    for tag, sloppy in (("f32 ", False), ("bf16", True)):
+        sp = SolverParams(r2req=1e-12, maxits=1000, restarts=3,
+                          sloppy=sloppy)
 
-    xsol, its, r2 = solve(ge, go, b)
-    float(its)
-    t0 = time.perf_counter()
-    xsol, its, r2 = solve(ge, go, b)
-    itv = float(its)
-    dt = time.perf_counter() - t0
-    print(f"solve_eo (pallas route): {dt:.3f} s, its={itv:.0f}, "
-          f"r2={float(r2):.2e}", flush=True)
+        @partial(jax.jit, static_argnums=3)
+        def solve(ge_, go_, b_, sp_):
+            w_ = wl.WilsonEO(lat, ge_, go_, m)
+            xsol, stats = wl.solve_eo(w_, b_, sp_)
+            return xsol, stats.iterations, stats.r2
+
+        xsol, its, r2 = solve(ge, go, b, sp)
+        float(its)
+        t0 = time.perf_counter()
+        xsol, its, r2 = solve(ge, go, b, sp)
+        itv = float(its)
+        dt = time.perf_counter() - t0
+        print(f"solve_eo ({tag} inner): {dt:.3f} s, its={itv:.0f}, "
+              f"r2={float(r2):.2e}", flush=True)
     print("EXP_WILSON OK", flush=True)
 
 

@@ -210,6 +210,7 @@ def solve_eo(w: WilsonEO, b: jax.Array,
         bf_o = sfst.to_fast(b_o, lat)
         rhs = bf_e + wfst.hop_fast(fw, bf_o, parity_out=0) / w.a
         rhs_n = wfst.m_ee_dag_fast(fw, rhs)
+        op_true, floor = None, 1e-12
         if jax.default_backend() not in ("cpu",):
             from . import wilson_pallas as wpal
             if wpal.fits(lat):
@@ -217,6 +218,20 @@ def solve_eo(w: WilsonEO, b: jax.Array,
                 pw = wpal.new_pallas_wilson(fw)
                 op = lambda v: wpal._join(wpal.m_ee_dag_pallas(
                     pw, wpal.m_ee_pallas(pw, wpal._split(v))))
+                if getattr(params, "sloppy", False):
+                    # bf16-link inner iterations + f32 true-residual
+                    # restarts (QEX sloppySolve; same recipe as the
+                    # staggered solve_ee).  NOTE measured 0.087 ->
+                    # 0.101 s at 24^3x32 m=0.1: the Wilson kernel is
+                    # VPU-bound (spin algebra), so halving link DMA
+                    # buys nothing and the extra restart iterations
+                    # cost ~16% -- honored as the user's knob, not a
+                    # default.
+                    pwb = wpal.new_pallas_wilson(
+                        fw, links_dtype=jnp.bfloat16)
+                    op_true, floor = op, 1e-5
+                    op = lambda v: wpal._join(wpal.m_ee_dag_pallas(
+                        pwb, wpal.m_ee_pallas(pwb, wpal._split(v))))
             else:
                 op = lambda v: wfst.m_ee_dag_fast(fw,
                                                   wfst.m_ee_fast(fw, v))
@@ -225,7 +240,9 @@ def solve_eo(w: WilsonEO, b: jax.Array,
         xf_e, stats = cg.cg_solve_restarted(op, rhs_n,
                                             r2req=params.r2req,
                                             maxits=params.maxits,
-                                            restarts=params.restarts)
+                                            restarts=params.restarts,
+                                            op_true=op_true,
+                                            inner_r2req_floor=floor)
         xf_o = (bf_o + wfst.hop_fast(fw, xf_e, parity_out=1)) / w.a
         return eomod.unpack(sfst.from_fast(xf_e, lat),
                             sfst.from_fast(xf_o, lat), lat.nd), stats
