@@ -27,8 +27,10 @@ v1 BlockSpec-streamed structure (stag_pallas):
   3-hop in t moves th by 1 or 2 depending on the site's sublattice,
   exactly stag_fast.shift_fast dist=3).
 
-Traffic/site (f32 links): 16*72 link + 8*24 streamed spinor + 24 out
-= 1368 B; flops/site 16*66 + 15*6 + 6 = 1152 -- still bandwidth-bound,
+Traffic/site (f32 links): 16*72 link + 7*24 streamed spinor inputs
+(c, z+-1, t+-1, t+-2) + 24 out = 1344 B when z-blocked (nz > 1; the
+z+-1 streams drop when one block covers all of Z, leaving 1296 B);
+flops/site 16*66 + 15*6 + 6 = 1152 -- still bandwidth-bound,
 so fusing all 16 terms (one pass over psi, no materialized shift
 temporaries) is the whole win over the XLA fast layout, which emits
 separate shifted copies per term.
@@ -122,10 +124,11 @@ def new_pallas_stag8(s, links_dtype=jnp.float32) -> PallasStag3EO:
 
 
 def fits(lat: Lattice, links_dtype=jnp.float32, nzb: int = 8) -> bool:
-    """Geometry constraints of the kernel: even T, Th >= 2 (the t
-    index maps stream th+-1, th+-2 blocks), and a z-block of nzb | Z
-    with nzb >= 3 (z+-3 planes must live in the immediate neighbor
-    block) unless Z itself is the block."""
+    """Geometry constraints of the kernel: 4-d lattice with even T and
+    Th >= 2 (the t index maps stream th+-1, th+-2 blocks).  Z-blocking
+    constraints (nzb | Z with nzb >= 3, else a single full-Z block)
+    are resolved internally by ``_pick_nzb`` and never reject a
+    geometry."""
     return (lat.nd == 4 and lat.dims[3] % 2 == 0
             and lat.dims[3] >= 4)
 
@@ -138,7 +141,16 @@ def _pick_nzb(Z: int, nzb: int | None, YX: int = 0,
     streams are dropped entirely (~10%% of the 8-term bf16 traffic)."""
     if nzb is None:
         est = blk_bytes_per_site * Z * YX * 2
-        nzb = Z if est <= 80 * 1024 * 1024 else 8
+        if est <= 80 * 1024 * 1024:
+            nzb = Z
+        else:
+            # largest divisor of Z (>= 3, for the z+-3 planes) whose
+            # double-buffered block fits the budget; Z itself as a
+            # last resort (never exceeds what full-Z would have used)
+            cands = [d for d in range(3, Z) if Z % d == 0
+                     and blk_bytes_per_site * d * YX * 2
+                     <= 80 * 1024 * 1024]
+            nzb = max(cands) if cands else Z
     if Z % nzb == 0 and nzb >= 3:
         return nzb
     return Z  # single full-Z block (wrap via the periodic index maps)
@@ -313,8 +325,10 @@ def dslash_pallas_hisq(s: PallasStag3EO, x_split: jax.Array,
                             memory_space=pltpu.VMEM)
 
     flops = (1152 if naik else 594) * (lat.volume // 2)
-    npsi = len(in_specs)  # psi streams + out (each 24 B/site)
-    bytes_acc = (nterms * 18 * lbytes + npsi * 24) * (lat.volume // 2)
+    # traffic model: spinor input streams (all in_specs minus the link
+    # entry) plus the one output stream, each 24 B/site f32
+    nstreams = (len(in_specs) - 1) + 1
+    bytes_acc = (nterms * 18 * lbytes + nstreams * 24) * (lat.volume // 2)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -355,8 +369,9 @@ def d2dd_pallas_hisq(s: PallasStag3EO, x_split: jax.Array,
 
 
 def dslash_pallas_hisq_c(s: PallasStag3EO, x: jax.Array,
-                         parity_out: int, interpret: bool = False
-                         ) -> jax.Array:
-    """complex64 fast-layout wrapper."""
-    return _join(dslash_pallas_hisq(s, _split(x), parity_out,
+                         parity_out: int, nzb: int | None = 8,
+                         interpret: bool = False) -> jax.Array:
+    """complex64 fast-layout wrapper (nzb forwarded for API symmetry
+    with the split-layout entry points)."""
+    return _join(dslash_pallas_hisq(s, _split(x), parity_out, nzb=nzb,
                                     interpret=interpret))

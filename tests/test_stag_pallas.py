@@ -157,3 +157,28 @@ def test_pallas_stag8_matches_fast(setup):
     dev = float(jnp.sum(jnp.abs(got - ref) ** 2)
                 / jnp.sum(jnp.abs(ref) ** 2))
     assert dev < 1e-12
+
+def test_pallas_hisq_auto_nzb(setup3):
+    """nzb=None auto mode: _pick_nzb must choose a valid divisor both
+    when the full-Z working set fits (small lattice -> full Z) and
+    when the estimate overflows (forced tiny budget -> largest fitting
+    divisor >= 3), and the kernel must stay exact either way."""
+    from qex_tpu.physics import stag_pallas_hisq as sph
+    lat, f3, p3, xf = setup3
+    xs = sph._split(xf)
+    ref = sf.dslash3_fast(f3, xf, 0)
+    got = sph._join(sph.dslash_pallas_hisq(p3, xs, 0, nzb=None,
+                                           interpret=True))
+    dev = float(jnp.sum(jnp.abs(got - ref) ** 2)
+                / jnp.sum(jnp.abs(ref) ** 2))
+    assert dev < 1e-12
+
+    # direct _pick_nzb unit checks (auto path divisor selection)
+    assert sph._pick_nzb(4, None, 16, 10) == 4       # fits -> full Z
+    big = 81 * 1024 * 1024
+    assert sph._pick_nzb(12, None, 1, big // 12) in (3, 4, 6)
+    # overflow with Z % 8 != 0: must pick a real divisor, never 8
+    n = sph._pick_nzb(20, None, 1, big // 10)
+    assert 20 % n == 0 and n >= 3 and n < 20
+    # overflow, no divisor >= 3 fits -> full Z fallback
+    assert sph._pick_nzb(4, None, 1, big) == 4
