@@ -353,16 +353,121 @@ def rsqrt_phm(h: jax.Array, iters: int = 14, eps: float = 1e-30) -> jax.Array:
     return z / jnp.sqrt(s)
 
 
+def _project_u_ns(x: jax.Array, iters: int = 14) -> jax.Array:
+    """project_u via plain AD-differentiable Newton-Schulz (any n)."""
+    h = mul_an(x, x)
+    return mul(x, rsqrt_phm(h, iters=iters))
+
+
+def _eigvals_herm3(h: jax.Array):
+    """Closed-form eigenvalues of a 3x3 Hermitian matrix field
+    (trigonometric Cardano), elementwise over the lattice axes --
+    never batched ``jnp.linalg.eigh`` (lane-padding disaster on TPU).
+    Returns three real arrays (one eigenvalue field each)."""
+    idm = eye_like(h)
+    q = jnp.real(trace(h)) / 3.0
+    hd = h - q.astype(h.dtype) * idm
+    p2 = jnp.real(trace(mul(hd, hd)))  # = sum of |hd|^2 eigenvalues
+    tiny = jnp.asarray(1e-30, p2.dtype)
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, tiny))
+    b = hd / p.astype(h.dtype)
+    r = jnp.clip(jnp.real(det(b)) / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    two_pi_3 = 2.0943951023931953
+    return tuple(q + 2.0 * p * jnp.cos(phi - two_pi_3 * k)
+                 for k in range(3))
+
+
+def _sylvester_herm3(r: jax.Array, m: jax.Array, s123) -> jax.Array:
+    """Solve R N + N R = M for a 3x3 Hermitian positive field R whose
+    eigenvalues are ``s123``, WITHOUT eigenvectors: the Sylvester
+    operator T(A) = RA + AR is annihilated by the degree-6 monic
+    polynomial with roots {s_i + s_j, i <= j}, so T^{-1} is a degree-5
+    polynomial in T with coefficients built from the roots --
+    degeneracy-safe (repeated roots are still an annihilating
+    polynomial) and fully elementwise."""
+    s1, s2, s3 = s123
+    roots = (2.0 * s1, 2.0 * s2, 2.0 * s3, s1 + s2, s1 + s3, s2 + s3)
+    # monic coefficients, highest degree first: prod(t - root)
+    coeffs = [jnp.ones_like(s1)]
+    for rt in roots:
+        nxt = [coeffs[0]]
+        for k in range(1, len(coeffs)):
+            nxt.append(coeffs[k] - rt * coeffs[k - 1])
+        nxt.append(-rt * coeffs[-1])
+        coeffs = nxt
+    # q(t) = sum_k a_k t^k with a_k = coeffs[6-k]; q(T) = 0 gives
+    # T^{-1} M = -(1/a0) (a1 M + a2 T M + ... + a6 T^5 M), a6 = 1
+    a = [coeffs[6 - k] for k in range(7)]
+    cdtype = m.dtype
+
+    def tapp(x):
+        return mul(r, x) + mul(x, r)
+
+    tm = m
+    acc = a[1].astype(cdtype) * m
+    for k in range(2, 7):
+        tm = tapp(tm)
+        acc = acc + a[k].astype(cdtype) * tm
+    return -acc / a[0].astype(cdtype)
+
+
+def _project_u3_fwd(x, iters):
+    h = mul_an(x, x)
+    s = rsqrt_phm(h, iters=iters)
+    return mul(x, s), (x, s)
+
+
+def _project_u3_bwd(iters, res, g):
+    """Exact polar-projection VJP in closed form (the QEX
+    ``projectUDeriv`` role, src/maths/matrixFunctions.nim:309-360 /
+    projUderiv.nim) -- derived from dP = dX S - P dR S with
+    R dR + dR R = dH, H = X^dag X, R = H^{1/2}, S = H^{-1/2}:
+
+        G_X = G_P S^T - conj(X) N^T - conj(X N),
+        R N + N R = S G_P^T P.
+
+    Memory: O(1) in the Newton-Schulz iteration count (the AD-through-
+    iterations backward stores every iterate -- the dominant HBM cost
+    of the nHYP/HISQ force pullback at production volumes).
+    """
+    x, s = res
+    h = mul_an(x, x)
+    r = mul(h, s)                       # H^{1/2} (= H * H^{-1/2})
+    p = mul(x, s)
+    m = mul(mul(s, jnp.swapaxes(g, 0, 1)), p)
+    l1, l2, l3 = _eigvals_herm3(h)
+    sq = tuple(jnp.sqrt(jnp.maximum(l, 1e-30)) for l in (l1, l2, l3))
+    n = _sylvester_herm3(r, m, sq)
+    gx = (mul(g, jnp.swapaxes(s, 0, 1))
+          - mul(jnp.conj(x), jnp.swapaxes(n, 0, 1))
+          - jnp.conj(mul(x, n)))
+    return (gx,)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _project_u3(x: jax.Array, iters: int) -> jax.Array:
+    return _project_u_ns(x, iters)
+
+
+_project_u3.defvjp(_project_u3_fwd, _project_u3_bwd)
+
+
 def project_u(x: jax.Array, iters: int = 14) -> jax.Array:
     """Polar projection U = X (X^dagger X)^{-1/2} onto U(n).
 
     QEX parity: ``projectU`` (src/maths/matrixFunctions.nim:309-360), the
-    heart of nHYP/HISQ smearing.  Differentiable end-to-end (the chain
-    rule through the Newton-Schulz iterations replaces QEX's hand-derived
-    ``projectUDeriv``).
+    heart of nHYP/HISQ smearing.  Differentiable end-to-end; for n=3 the
+    backward pass is the closed-form spectral VJP (QEX's hand-derived
+    ``projectUDeriv`` analog, O(1) memory in the iteration count); other
+    n fall back to AD through the Newton-Schulz iterations.
     """
-    h = mul_an(x, x)
-    return mul(x, rsqrt_phm(h, iters=iters))
+    if x.shape[0] == 3 and x.shape[1] == 3:
+        return _project_u3(x, iters)
+    return _project_u_ns(x, iters)
 
 
 def project_su(x: jax.Array, iters: int = 14) -> jax.Array:

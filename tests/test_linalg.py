@@ -146,3 +146,47 @@ def test_logm_inverts_expm(rng):
     assert float(linalg.norm2(l - p)) / float(linalg.norm2(p)) < 1e-18
     back = linalg.expm(l)
     assert float(linalg.norm2(back - u)) / float(linalg.norm2(u)) < 1e-20
+
+
+def test_project_u_spectral_vjp_matches_ad():
+    """The closed-form spectral VJP of project_u (n=3 custom_vjp, the
+    QEX projectUDeriv analog) must match AD through the Newton-Schulz
+    iterations, including at exactly-degenerate spectra (unitary
+    input), and support grad-of-grad (force-gradient integrators)."""
+    import jax
+    import jax.numpy as jnp
+    from qex_tpu.ops import group, linalg
+
+    key = jax.random.PRNGKey(11)
+    shape = (3, 3, 4, 4, 2)
+    x = (jax.random.normal(key, shape)
+         + 1j * jax.random.normal(jax.random.fold_in(key, 1), shape))
+    x = 0.3 * x + jnp.eye(3).reshape(3, 3, 1, 1, 1)  # staple-like
+    g = (jax.random.normal(jax.random.fold_in(key, 2), shape)
+         + 1j * jax.random.normal(jax.random.fold_in(key, 3), shape))
+
+    def loss(fn):
+        return lambda xx: jnp.sum(jnp.real(g * fn(xx, 20)))
+
+    v1 = float(loss(linalg._project_u_ns)(x))
+    v2 = float(loss(linalg._project_u3)(x))
+    assert v1 == v2  # identical forward
+    g1 = jax.grad(loss(linalg._project_u_ns))(x)
+    g2 = jax.grad(loss(linalg._project_u3))(x)
+    dev = float(jnp.linalg.norm(g1 - g2) / jnp.linalg.norm(g1))
+    assert dev < 1e-10, dev
+
+    # fully degenerate spectrum: Haar-unitary input (H == I exactly)
+    u = group.random_unitary(key, (2, 2, 2), 3, jnp.complex128)
+    gs = g[..., :2, :2, :2]
+    g1 = jax.grad(lambda xx: jnp.sum(jnp.real(
+        gs * linalg._project_u_ns(xx, 20))))(u)
+    g2 = jax.grad(lambda xx: jnp.sum(jnp.real(
+        gs * linalg._project_u3(xx, 20))))(u)
+    dev = float(jnp.linalg.norm(g1 - g2) / jnp.linalg.norm(g1))
+    assert dev < 1e-10, dev
+
+    # second derivative through the custom vjp must exist (fg_force)
+    hv = jax.grad(lambda xx: jnp.sum(jnp.abs(
+        jax.grad(loss(linalg._project_u3))(xx)) ** 2))(x)
+    assert bool(jnp.all(jnp.isfinite(hv)))
