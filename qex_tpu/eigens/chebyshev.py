@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .lanczos import eigs_hermitian, lanczos_hermitian
+from .lanczos import (eigs_hermitian, eigs_hermitian_dev,
+                      lanczos_hermitian)
 
 
 def chebyshev_filter(op: Callable, a: float, b: float, degree: int
@@ -81,11 +82,64 @@ def estimate_spectral_range(op: Callable, example: jax.Array,
     return float(lo), float(hi)
 
 
+def estimate_spectral_range_dev(op: Callable, example: jax.Array,
+                                m: int = 30, seed: int = 7,
+                                safety: float = 1.05
+                                ) -> tuple[float, float]:
+    """:func:`estimate_spectral_range` with the whole m-step Lanczos +
+    tridiagonal eigensolve in ONE jit, fetching only the two bracket
+    scalars -- required on the axon-tunneled TPU (no eager ops, no
+    array transfers)."""
+    rdtype = jnp.zeros((), example.dtype).real.dtype
+
+    @jax.jit
+    def run():
+        key = jax.random.PRNGKey(seed)
+        v = (jax.random.normal(key, example.shape, rdtype)
+             + 1j * jax.random.normal(jax.random.fold_in(key, 1),
+                                      example.shape, rdtype)).astype(
+            example.dtype)
+        v = v / jnp.sqrt(jnp.sum(jnp.abs(v) ** 2)).astype(v.dtype)
+        bb = jnp.zeros((m + 1,) + example.shape, example.dtype
+                       ).at[0].set(v)
+        al = jnp.zeros((m,), rdtype)
+        be = jnp.zeros((m,), rdtype)
+        idx = jnp.arange(m + 1)
+
+        def body(j, carry):
+            bb, al, be = carry
+            w = op(bb[j])
+            c1 = jnp.einsum("k...,...->k", jnp.conj(bb), w)
+            c1 = c1 * (idx <= j).astype(c1.dtype)
+            w = w - jnp.einsum("k,k...->...", c1, bb)
+            c2 = jnp.einsum("k...,...->k", jnp.conj(bb), w)  # 2nd pass
+            c2 = c2 * (idx <= j).astype(c2.dtype)
+            w = w - jnp.einsum("k,k...->...", c2, bb)
+            al = al.at[j].set(jnp.real(c1[j]))
+            b = jnp.sqrt(jnp.sum(jnp.abs(w) ** 2)) + 1e-300
+            be = be.at[j].set(b)
+            bb = bb.at[j + 1].set(w / b.astype(w.dtype))
+            return bb, al, be
+
+        bb, al, be = jax.lax.fori_loop(0, m, body, (bb, al, be))
+        t = (jnp.diag(al) + jnp.diag(be[:m - 1], 1)
+             + jnp.diag(be[:m - 1], -1))
+        ev, evec = jnp.linalg.eigh(t)
+        b_last = be[m - 1]
+        lo = ev[0] - safety * jnp.abs(b_last * evec[m - 1, 0])
+        hi = ev[-1] + safety * jnp.abs(b_last * evec[m - 1, -1])
+        return lo, hi
+
+    lo, hi = run()
+    return float(lo), float(hi)
+
+
 def eigs_filtered(op: Callable, example: jax.Array, n_eigs: int, *,
                   degree: int = 20, window: tuple[float, float]
                   | None = None, m: int | None = None,
                   max_restarts: int = 40, tol: float = 1e-8,
-                  seed: int = 0) -> tuple[np.ndarray, jax.Array, dict]:
+                  seed: int = 0, device: bool | None = None
+                  ) -> tuple[np.ndarray, jax.Array, dict]:
     """Lowest ``n_eigs`` eigenpairs of hermitian ``op`` via
     Chebyshev-filtered thick-restart Lanczos.
 
@@ -93,9 +147,17 @@ def eigs_filtered(op: Callable, example: jax.Array, n_eigs: int, *,
     [lo + 0.1 (hi - lo), hi] from :func:`estimate_spectral_range`.
     Eigenvalues are Rayleigh quotients of A on the converged filtered
     Ritz vectors, residuals are TRUE residuals |A v - theta v|.
+
+    ``device``: run the fully device-resident path (one jit per
+    restart cycle, scalar-only host transfers -- the axon-tunnel-safe
+    mode); default auto (True on non-CPU backends).
     """
+    if device is None:
+        device = jax.default_backend() != "cpu"
     if window is None:
-        lo, hi = estimate_spectral_range(op, example)
+        est = (estimate_spectral_range_dev if device
+               else estimate_spectral_range)
+        lo, hi = est(op, example)
         window = (lo + 0.1 * (hi - lo), hi)
     filt = chebyshev_filter(op, window[0], window[1], degree)
 
@@ -105,26 +167,36 @@ def eigs_filtered(op: Callable, example: jax.Array, n_eigs: int, *,
     if degree % 2 == 1:
         degree += 1
         filt = chebyshev_filter(op, window[0], window[1], degree)
-    _fvals, vecs, info = eigs_hermitian(filt, example, n_eigs,
-                                        which="largest", m=m,
-                                        max_restarts=max_restarts,
-                                        tol=tol, seed=seed)
+    eig_fn = eigs_hermitian_dev if device else eigs_hermitian
+    _fvals, vecs, info = eig_fn(filt, example, n_eigs,
+                                which="largest", m=m,
+                                max_restarts=max_restarts,
+                                tol=tol, seed=seed)
     info["degree"] = degree
     info["window"] = window
     info["matvecs_A"] = info["matvecs"] * degree
 
-    # Rayleigh quotients + true residuals on A
-    matvec = jax.jit(op)
-    thetas, resids, out_vecs = [], [], []
-    for i in range(vecs.shape[0]):
-        v = vecs[i]
-        av = matvec(v)
-        th = float(jnp.real(jnp.sum(jnp.conj(v) * av)))
-        r = float(jnp.sqrt(jnp.sum(jnp.abs(av - th * v) ** 2)))
-        thetas.append(th)
-        resids.append(r)
-        out_vecs.append(v)
+    # Rayleigh quotients + true residuals on A, one jit, scalar fetches
+    @jax.jit
+    def rayleigh(vecs):
+        ths, rs = [], []
+        for i in range(vecs.shape[0]):  # static unroll, n is small
+            v = vecs[i]
+            av = op(v)
+            th = jnp.real(jnp.einsum("...,...->", jnp.conj(v), av))
+            r = jnp.sqrt(jnp.sum(jnp.abs(av - th.astype(av.dtype) * v)
+                                 ** 2))
+            ths.append(th)
+            rs.append(r)
+        return jnp.stack(ths), jnp.stack(rs)
+
+    th_d, r_d = rayleigh(vecs)
+    pick = jax.jit(lambda a, i: a[i])
+    thetas = np.array([float(pick(th_d, i))
+                       for i in range(vecs.shape[0])])
+    resids = np.array([float(pick(r_d, i))
+                       for i in range(vecs.shape[0])])
     order = np.argsort(thetas)
-    info["true_residuals"] = np.array(resids)[order]
-    return (np.array(thetas)[order],
-            jnp.stack([out_vecs[i] for i in order]), info)
+    info["true_residuals"] = resids[order]
+    return (thetas[order],
+            jnp.stack([vecs[i] for i in order]), info)

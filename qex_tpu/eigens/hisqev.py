@@ -38,19 +38,29 @@ class EigResult:
     info: dict
 
 
-def _normal_op(lat: Lattice, u: jax.Array, bc: str,
-               naik: bool) -> tuple[Callable, jax.Array]:
-    if naik:
+def _normal_op(lat: Lattice, u: jax.Array, bc: str, naik: bool,
+               links=None) -> tuple[Callable, jax.Array]:
+    """``links``: optional precomputed (fat, long) pair -- lets large
+    volumes reuse gauge.fat7.hisq_links_lowmem output (the fused
+    fattening exceeds one chip's HBM at 24^3x48+) and implies naik."""
+    if links is not None:
+        fat, long = links
+        s3 = st.new_stag3_eo(lat, fat, long)
+        op = jax.jit(lambda v: st.d2dd3(s3, v, parity=0))
+        dtype = fat.dtype
+    elif naik:
         from ..gauge.fat7 import hisq_links
         g = st.phase_links(lat, u, bc)
         fat, long = hisq_links(lat, g)
         s3 = st.new_stag3_eo(lat, fat, long)
         op = jax.jit(lambda v: st.d2dd3(s3, v, parity=0))
+        dtype = u.dtype
     else:
         s = st.new_stag_eo(lat, u, bc)
         op = jax.jit(lambda v: st.d2dd(s, v, parity=0))
+        dtype = u.dtype
     shape = (lat.nc,) + lat.dims[:-1] + (lat.dims[-1] // 2,)
-    example = jnp.zeros(shape, u.dtype)
+    example = jnp.zeros(shape, dtype)
     return op, example
 
 
@@ -58,14 +68,18 @@ def stag_eigs(lat: Lattice, u: jax.Array, n: int, *, bc: str = "pppa",
               naik: bool = False, degree: int = 24,
               tol: float = 1e-8, m: int | None = None,
               max_restarts: int = 60, seed: int = 0,
-              verbose: bool = False) -> EigResult:
+              links=None, verbose: bool = False) -> EigResult:
     """Lowest-n eigenpairs of the staggered (or fat+naik HISQ) mass-free
     even-odd normal operator on gauge field ``u``.
 
     QEX parity: hisqev.nim's driver loop (operator setup, spectral
     bracket, filtered eigensolve, per-pair residual report).
+
+    ``links``: precomputed (fat, long) HISQ links (e.g. from
+    gauge.fat7.hisq_links_lowmem at volumes where the fused fattening
+    does not fit); ``u`` may then be None.
     """
-    op, example = _normal_op(lat, u, bc, naik)
+    op, example = _normal_op(lat, u, bc, naik, links)
     evals, vecs, info = eigs_filtered(op, example, n, degree=degree,
                                       tol=tol, m=m,
                                       max_restarts=max_restarts,
@@ -82,13 +96,17 @@ def stag_eigs(lat: Lattice, u: jax.Array, n: int, *, bc: str = "pppa",
 
 def spectral_range_stag(lat: Lattice, u: jax.Array, mass: float, *,
                         bc: str = "pppa", naik: bool = False,
-                        m: int = 30) -> tuple[float, float]:
+                        m: int = 30, links=None) -> tuple[float, float]:
     """(lo, hi) bracket of the SHIFTED normal operator m^2 - D_eo D_oe,
     for the rooted fermion's rational approximation interval
     (replacing the loose m^2 + nd^2 bound; QEX parity: hisqev-style
     bounds feeding mcmc/utilities/rational.nim table selection)."""
-    op, example = _normal_op(lat, u, bc, naik)
-    lo, hi = estimate_spectral_range(op, example, m=m)
+    op, example = _normal_op(lat, u, bc, naik, links)
+    if jax.default_backend() != "cpu":
+        from .chebyshev import estimate_spectral_range_dev
+        lo, hi = estimate_spectral_range_dev(op, example, m=m)
+    else:
+        lo, hi = estimate_spectral_range(op, example, m=m)
     mm = mass * mass
     return max(mm, mm + lo), mm + hi
 

@@ -187,3 +187,43 @@ def test_rooted_fermion_calibrated_range():
     phi = rf2.heatbath(jax.random.fold_in(key, 7), u)
     sval = float(rf2.action(u, phi))
     assert np.isfinite(sval)
+
+
+def test_device_path_matches_host():
+    """The device-resident thick-restart Lanczos + jitted spectral
+    range (the axon-tunnel-safe production path) must agree with the
+    host-loop implementation on the same operator."""
+    from qex_tpu.eigens import estimate_spectral_range
+    from qex_tpu.eigens.chebyshev import (eigs_filtered,
+                                          estimate_spectral_range_dev)
+    from qex_tpu.eigens.lanczos import eigs_hermitian_dev
+
+    n = 90
+    key = jax.random.PRNGKey(2)
+    a = (jax.random.normal(key, (n, n))
+         + 1j * jax.random.normal(jax.random.fold_in(key, 1), (n, n)))
+    h = (a + a.conj().T) / 2
+    op = lambda v: h @ v
+    ex = jnp.zeros((n,), jnp.complex128)
+    ref = np.linalg.eigvalsh(np.asarray(h))
+
+    e, v, info = eigs_hermitian_dev(op, ex, 5, m=36, tol=1e-12, seed=4)
+    assert np.abs(e - ref[:5]).max() < 1e-10
+    for i in range(5):
+        r = float(jnp.linalg.norm(op(v[i]) - e[i] * v[i]))
+        assert r < 1e-8, (i, r)
+
+    # the two implementations pad the Ritz bracket with slightly
+    # different (both valid) residual bounds -- compare loosely and
+    # require both to bracket the true spectrum
+    lo1, hi1 = estimate_spectral_range(op, ex, m=24)
+    lo2, hi2 = estimate_spectral_range_dev(op, ex, m=24)
+    assert lo1 == pytest.approx(lo2, rel=1e-3)
+    assert hi1 == pytest.approx(hi2, rel=1e-3)
+    assert lo2 <= ref[0] + 1e-8 and hi2 >= ref[-1] - 1e-8
+
+    e1, _, _ = eigs_filtered(op, ex, 4, degree=10, m=30, tol=1e-10,
+                             device=False)
+    e2, _, _ = eigs_filtered(op, ex, 4, degree=10, m=30, tol=1e-10,
+                             device=True)
+    assert np.abs(e1 - e2).max() < 1e-8
