@@ -20,8 +20,10 @@ permutation p and coefficients c are extracted numerically at trace
 time from gamma_matrices() (asserting the block structure), so the
 kernel can never drift from the reference basis.
 
-Traffic/site f32: 8*72 link + 5*96 streamed spinor + 96 out = 1248 B;
-flops/site 1344 -> arithmetic intensity ~1.1 flop/B, higher than
+Traffic/site f32: 8*72 link + 5*96 streamed spinor + 96 out = 1248 B
+when z-blocked (nz > 1); one full-Z block (nzb=None) drops the z+-1
+streams -> 1056 B, and bf16 links drop a further 288 B -> 768 B.
+flops/site 1344 -> arithmetic intensity 1.1-1.75 flop/B, higher than
 staggered's 0.7 (the spin algebra is nearly free on the VPU but the
 matvecs double), so the kernel sits at the HBM roofline's edge.
 
@@ -139,12 +141,16 @@ def fits(lat: Lattice) -> bool:
     return lat.nd == 4 and lat.dims[3] % 2 == 0 and lat.dims[3] >= 4
 
 
-def _pick_nzb(Z: int, nzb: int) -> int:
+def _pick_nzb(Z: int, nzb: int | None) -> int:
+    """nzb=None -> one full-Z block (drops the zm/zp streams; the
+    block must then fit VMEM -- fine for Z <= ~32 at YX <= ~1k)."""
+    if nzb is None:
+        return Z
     return nzb if Z % nzb == 0 else Z
 
 
 def _wilson_kernel(X: int, parity_out: int, nzb: int, nz: int,
-                   l, psi_c, psi_zm, psi_zp, psi_tm, psi_tp, out):
+                   l, psi_c, *rest):
     """One (th, z-block) tile of the 8-term Wilson hopping term.
 
     Block shapes: l (8, 2, 3, 3, 1, nzb, YX); psi_* / out
@@ -155,7 +161,16 @@ def _wilson_kernel(X: int, parity_out: int, nzb: int, nz: int,
     occupancy (per-z (1, YX) slices leave 7/8 of each tile idle —
     measured 150 -> ~400 GF/s at 24^3x32).  z hops are sublane rolls
     with the boundary row replaced from the streamed neighbor block.
+    When one block covers all of Z (nz == 1) the z hops are pure
+    periodic sublane rolls and the zm/zp streams are not passed at
+    all — two of the six spinor streams (~15% of the f32 traffic)
+    saved per application (same trick as stag_pallas_hisq).
     """
+    if nz > 1:
+        psi_zm, psi_zp, psi_tm, psi_tp, out = rest
+    else:
+        psi_zm = psi_zp = None
+        psi_tm, psi_tp, out = rest
     yx = out.shape[-1]
     xg = jax.lax.broadcasted_iota(jnp.int32, (1, yx), 1) % X
     yg = jax.lax.broadcasted_iota(jnp.int32, (1, yx), 1) // X
@@ -268,7 +283,8 @@ def _wilson_kernel(X: int, parity_out: int, nzb: int, nz: int,
 
 
 def hop_pallas_w(p: PallasWilsonEO, x_split: jax.Array, parity_out: int,
-                 nzb: int = 8, interpret: bool = False) -> jax.Array:
+                 nzb: int | None = 8,
+                 interpret: bool = False) -> jax.Array:
     """Apply the Wilson hopping term; x_split (2, 4, 3, Th, Z, YX) f32
     on the source parity; returns the same shape on ``parity_out``."""
     lat = p.lat
@@ -286,8 +302,13 @@ def hop_pallas_w(p: PallasWilsonEO, x_split: jax.Array, parity_out: int,
                      lambda th, z: (0, 0, 0, 0, th, z, 0),
                      memory_space=pltpu.VMEM),
         spin(lambda th, z: (0, 0, 0, th, z, 0)),              # psi_c
-        spin(lambda th, z: (0, 0, 0, th, (z - 1) % nz, 0)),   # psi_zm
-        spin(lambda th, z: (0, 0, 0, th, (z + 1) % nz, 0)),   # psi_zp
+    ]
+    if nz > 1:
+        in_specs += [
+            spin(lambda th, z: (0, 0, 0, th, (z - 1) % nz, 0)),  # zm
+            spin(lambda th, z: (0, 0, 0, th, (z + 1) % nz, 0)),  # zp
+        ]
+    in_specs += [
         spin(lambda th, z: (0, 0, 0, (th - 1) % Th, z, 0)),   # psi_tm
         spin(lambda th, z: (0, 0, 0, (th + 1) % Th, z, 0)),   # psi_tp
     ]
@@ -297,7 +318,8 @@ def hop_pallas_w(p: PallasWilsonEO, x_split: jax.Array, parity_out: int,
 
     flops = 1344 * (lat.volume // 2)
     lbytes = 2 if l.dtype == jnp.bfloat16 else 4
-    bytes_acc = (8 * 18 * lbytes + 6 * 96) * (lat.volume // 2)
+    nstreams = (len(in_specs) - 1) + 1  # spinor inputs + out
+    bytes_acc = (8 * 18 * lbytes + nstreams * 96) * (lat.volume // 2)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -315,7 +337,7 @@ def hop_pallas_w(p: PallasWilsonEO, x_split: jax.Array, parity_out: int,
                                       transcendentals=0),
         interpret=interpret,
         **kwargs,
-    )(l, x_split, x_split, x_split, x_split, x_split)
+    )(l, *([x_split] * (len(in_specs) - 1)))
 
 
 def _g5(x_split: jax.Array) -> jax.Array:
@@ -324,16 +346,20 @@ def _g5(x_split: jax.Array) -> jax.Array:
 
 
 def m_ee_pallas(p: PallasWilsonEO, x_split: jax.Array,
+                nzb: int | None = 8,
                 interpret: bool = False) -> jax.Array:
     """Schur complement M = a - H_eo H_oe / a (wilson.wilson_m_ee)."""
-    t = hop_pallas_w(p, x_split, parity_out=1, interpret=interpret)
-    y = hop_pallas_w(p, t, parity_out=0, interpret=interpret)
+    t = hop_pallas_w(p, x_split, parity_out=1, nzb=nzb,
+                     interpret=interpret)
+    y = hop_pallas_w(p, t, parity_out=0, nzb=nzb, interpret=interpret)
     return p.a * x_split - y / p.a
 
 
 def m_ee_dag_pallas(p: PallasWilsonEO, x_split: jax.Array,
+                    nzb: int | None = 8,
                     interpret: bool = False) -> jax.Array:
-    return _g5(m_ee_pallas(p, _g5(x_split), interpret=interpret))
+    return _g5(m_ee_pallas(p, _g5(x_split), nzb=nzb,
+                           interpret=interpret))
 
 
 def hop_pallas_w_c(p: PallasWilsonEO, x: jax.Array, parity_out: int,

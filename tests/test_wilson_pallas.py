@@ -81,3 +81,29 @@ def test_odd_z_single_block(setup):
     dev = float(jnp.sum(jnp.abs(got - ref) ** 2)
                 / jnp.sum(jnp.abs(ref) ** 2))
     assert dev < 1e-12
+
+
+def test_zblocked_matches_fullz():
+    """nz > 1 (zm/zp neighbor streams live) vs one full-Z block
+    (streams dropped, nzb=None) -- both against the XLA oracle."""
+    lat = Lattice((4, 4, 8, 8))
+    key = jax.random.PRNGKey(14)
+    ks = jax.random.split(key, 5)
+    u = jnp.stack([
+        linalg.expm(0.6 * group.random_tah(ks[i], lat.dims, lat.nc,
+                                           jnp.complex64))
+        for i in range(4)])
+    w = wl.new_wilson_eo(lat, u, m=0.15)
+    fw = wf.new_fast_wilson(w)
+    x = jax.random.normal(ks[4], (4, 3, 4, 4, 8, 4),
+                          jnp.float32).astype(jnp.complex64)
+    xf = sf.to_fast(x, lat)
+    p = wp.new_pallas_wilson(fw)
+    xs = wp._split(xf)
+    ref = wf.hop_fast(fw, xf, 1)
+    for nzb in (4, None):  # 4 -> nz=2 (streams); None -> full Z
+        got = wp._join(wp.hop_pallas_w(p, xs, 1, nzb=nzb,
+                                       interpret=True))
+        dev = float(jnp.sum(jnp.abs(got - ref) ** 2)
+                    / jnp.sum(jnp.abs(ref) ** 2))
+        assert dev < 1e-12, nzb
