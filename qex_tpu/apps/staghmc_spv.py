@@ -103,6 +103,12 @@ def main(argv=None) -> int:
     ap.add_argument("--ntraj", type=int, default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
+    ap.add_argument("--profile", action="store_true",
+                    help="print a per-trajectory phase timer tree "
+                    "(heatbath/md/metropolis with per-kick children; "
+                    "QEX profile.nim echoTimers role). Forces the "
+                    "split-step dispatcher and adds one device sync "
+                    "per phase.")
     ap.add_argument("overrides", nargs="*",
                     help="-key=value config overrides")
     args, unknown = ap.parse_known_args(argv)
@@ -148,6 +154,8 @@ def main(argv=None) -> int:
     split_env = os.environ.get("QEX_TPU_SPLIT_TRAJ")
     use_split = (split_env == "1" if split_env is not None
                  else lat.volume >= 300_000)
+    if args.profile:
+        use_split = True  # phase timing needs the split dispatcher
     on_cpu = jax.devices()[0].platform == "cpu"
     dtype = jnp.complex128 if (on_cpu and jax.config.jax_enable_x64) \
         else jnp.complex64
@@ -219,10 +227,14 @@ def main(argv=None) -> int:
                 jnp.imag(ploop).astype(jnp.float32),
                 jnp.real(plq6).astype(jnp.float32))
 
+    prof = None
+    if args.profile:
+        from qex_tpu.utils.profile import Profiler
+        prof = Profiler()
     if use_split:
         print("# split-step trajectory dispatch (large volume)")
         step = lambda k, uu, warm: theory.hmc_step_split(
-            k, uu, always_accept=warm)
+            k, uu, always_accept=warm, prof=prof)
     else:
         step = jax.jit(lambda k, uu, warm: theory.hmc_step(
             k, uu, always_accept=warm))
@@ -244,6 +256,12 @@ def main(argv=None) -> int:
         print(f"End H: {float(st.h_new):.10g}")
         print(f"{'ACCEPT' if acc else 'REJECT'}: dH {dH:.6g} "
               f"({time.time()-t0:.2f} s){' [warmup]' if warmup else ''}")
+        if prof is not None:
+            # per-trajectory phase tree (QEX echoTimers,
+            # profile.nim:411-554 @ staghmc_spv.nim:356-365)
+            print("PROFILE trajectory phase tree:")
+            print(prof.report())
+            prof.reset()
         if check_jit is not None:
             # per-trajectory solver verification (QEX check_solvers,
             # staghmc_spv.nim:1066-1090): re-solve each term at a_tol

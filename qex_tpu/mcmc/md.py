@@ -306,7 +306,12 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
             (p1, p2, p3), proj = transform_stages
 
         def _proj_stack(w):
-            return jnp.stack([proj(w[j]) for j in range(w.shape[0])])
+            # sequential (lax.map = scan) so XLA reuses one
+            # projection's temporaries across the 12 stacked fields:
+            # the inline-stacked form held several Newton-Schulz
+            # chains live at once (fwd s2 peaked 2.8 GB at 24^4 in
+            # the exp_nhyp_mem.py analysis; map bounds it to ~1 slab)
+            return jax.lax.map(proj, w)
 
         s1 = lambda u: _proj_stack(p1(u))
         s2 = lambda u, a1: _proj_stack(p2(u, a1))
@@ -483,9 +488,16 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
 def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
                          p0: jax.Array, phis: Sequence[Any], tau: float,
                          update_u, transform=None, transform_stages=None,
-                         ) -> tuple[jax.Array, jax.Array]:
+                         prof=None) -> tuple[jax.Array, jax.Array]:
     """Same math as :func:`run_trajectory`, dispatched as a Python loop
-    of small jits (see comment above).  NOT jit-able itself."""
+    of small jits (see comment above).  NOT jit-able itself.
+
+    ``prof``: optional qex_tpu.utils.profile.Profiler — records a
+    per-phase timer tree (update_u / smear / chain+pullback / per-term
+    kicks) with a device sync per phase, the QEX profile.nim tic/toc
+    role (profile.nim:411-554 consumed at staghmc_spv.nim:356-365).
+    Leave None for production speed (each sync is a host round-trip).
+    """
     schedule = build_schedule(terms, tau)
     rdt = jnp.finfo(u0.dtype).dtype  # match scan-path precision
     upd = jax.jit(lambda u, p, dt: update_u(u, p, dt))
@@ -494,35 +506,67 @@ def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
     if transform is not None:
         smear, add, chains, pullback, stages = _smeared_split_jits(
             terms, transform, transform_stages)
+
+    if prof is None:
+        import contextlib
+
+        def ptimer(name, sync=None):
+            return contextlib.nullcontext()
+    else:
+        def ptimer(name, sync=None):
+            return prof.timer(name, sync=sync)
+
     u, p = u0, p0
     for dt, kicks in schedule:
         if dt > _EPS:
-            u = upd(u, p, jnp.asarray(dt, rdt))
+            with ptimer("update_u"):
+                u = upd(u, p, jnp.asarray(dt, rdt))
+                if prof is not None:
+                    _psync(u)
         if not kicks:
             continue
         shared = [(i, c) for (i, c, x) in kicks
                   if chains is not None and i in chains and x == 0.0]
         if shared:
-            if stages is not None:
-                # staged forward: keep a1/a2 for the pullback (skips
-                # recomputing the first two smear levels per kick)
-                j1, j2, j3 = stages
-                a1 = j1(u)
-                a2 = j2(u, a1)
-                v = j3(u, a2)
-            else:
-                a1 = a2 = None
-                v = smear(u)
+            with ptimer("smear_fwd"):
+                if stages is not None:
+                    # staged forward: keep a1/a2 for the pullback
+                    # (skips recomputing the first two smear levels
+                    # per kick)
+                    j1, j2, j3 = stages
+                    a1 = j1(u)
+                    a2 = j2(u, a1)
+                    v = j3(u, a2)
+                else:
+                    a1 = a2 = None
+                    v = smear(u)
+                if prof is not None:
+                    _psync(v)
             total = None
             for (i, c) in shared:
-                ci = chains[i](v, phis[i], jnp.asarray(c, rdt))
+                with ptimer(f"chain:{terms[i].name}"):
+                    ci = chains[i](v, phis[i], jnp.asarray(c, rdt))
+                    if prof is not None:
+                        _psync(ci)
                 total = ci if total is None else add(total, ci)
-            p = pullback(u, p, total, a1, a2)
+            with ptimer("smear_pullback"):
+                p = pullback(u, p, total, a1, a2)
+                if prof is not None:
+                    _psync(p)
         sig = tuple((i, x != 0.0) for (i, c, x) in kicks)
         if sig not in kick_fns:
             kick_fns[sig] = _kick_jit(terms, sig, update_u, transform)
         if kick_fns[sig] is not None:
             cdts = jnp.asarray([c for (_i, c, _x) in kicks], rdt)
             xis = jnp.asarray([x for (_i, _c, x) in kicks], rdt)
-            p = kick_fns[sig](u, p, phis, cdts, xis)
+            kname = "kick:" + "+".join(terms[i].name for (i, _) in sig)
+            with ptimer(kname):
+                p = kick_fns[sig](u, p, phis, cdts, xis)
+                if prof is not None:
+                    _psync(p)
     return u, p
+
+
+def _psync(x) -> None:
+    from ..utils.profile import _device_sync
+    _device_sync(x)

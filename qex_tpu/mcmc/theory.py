@@ -309,12 +309,17 @@ class LatticeFieldTheory:
         return out
 
     def hmc_step_split(self, key: jax.Array, u: jax.Array,
-                       always_accept: bool | jax.Array = False):
+                       always_accept: bool | jax.Array = False,
+                       prof=None):
         """:meth:`hmc_step` dispatched as a Python loop of small jits
         (md.run_trajectory_split): identical math, but no single
         whole-trajectory XLA program -- required at volumes where that
         program exceeds the compiler's own memory envelope (24^4+
-        smeared multi-field theories).  Do NOT wrap in jax.jit."""
+        smeared multi-field theories).  Do NOT wrap in jax.jit.
+
+        ``prof``: optional utils.profile.Profiler — records the
+        heatbath / md (per-phase children) / metropolis timer tree
+        (QEX's per-trajectory profile, staghmc_spv.nim:356-365)."""
         lat = self.lat
         transform = (self._smear
                      if any(t.smeared for t in self.terms) else None)
@@ -344,10 +349,28 @@ class LatticeFieldTheory:
             return u_out, hmc_mod.HMCState(accepted=acc, dH=dH,
                                            h_old=h_old, h_new=h_new)
 
-        p, phis, h_old, ka = begin(key, u)
-        u1, p1 = run_trajectory_split(self.terms, u, p, phis, self.tau,
-                                      hmc_mod.gauge_update_u,
-                                      transform=transform,
-                                      transform_stages=stages)
-        return finish(u, u1, p1, phis, h_old, ka,
-                      jnp.asarray(always_accept))
+        import contextlib
+
+        def ptimer(name, sync=None):
+            return (prof.timer(name, sync=sync) if prof is not None
+                    else contextlib.nullcontext())
+
+        with ptimer("heatbath"):
+            p, phis, h_old, ka = begin(key, u)
+            if prof is not None:
+                from ..utils.profile import _device_sync
+                _device_sync(h_old)
+        with ptimer("md"):
+            u1, p1 = run_trajectory_split(self.terms, u, p, phis,
+                                          self.tau,
+                                          hmc_mod.gauge_update_u,
+                                          transform=transform,
+                                          transform_stages=stages,
+                                          prof=prof)
+        with ptimer("metropolis"):
+            out = finish(u, u1, p1, phis, h_old, ka,
+                         jnp.asarray(always_accept))
+            if prof is not None:
+                from ..utils.profile import _device_sync
+                _device_sync(out[1].dH)
+        return out

@@ -50,18 +50,17 @@ class Profiler:
             yield node
         finally:
             if sync is not None:
-                import jax
-                import jax.numpy as jnp
-                try:
-                    float(jnp.real(sync).ravel()[0]) if hasattr(
-                        sync, "ravel") else float(sync)
-                except Exception:
-                    pass
+                _device_sync(sync)
             dt = time.perf_counter() - t0
             node.nsec += dt * 1e9
             node.flops += flops
             node.count += 1
             self._stack.pop()
+
+    def reset(self) -> None:
+        """Clear the tree (per-trajectory reporting)."""
+        self.root = TimerNode("total")
+        self._stack = [self.root]
 
     def report(self, min_frac: float = 0.001) -> str:
         """Render the tree (QEX echoTimers; drops tiny children like
@@ -83,6 +82,30 @@ class Profiler:
         for c in sorted(self.root.children.values(), key=lambda c: -c.nsec):
             walk(c, 0)
         return "\n".join(lines)
+
+
+_sync_fn = None
+
+
+def _device_sync(x) -> None:
+    """Block until ``x`` is computed by fetching ONE real f32 scalar
+    derived from it through a jitted reduction — the only reliable
+    sync on every backend (on the axon tunnel, eager ops and
+    ``block_until_ready`` both fail silently; complex transfers are
+    unsupported)."""
+    global _sync_fn
+    try:
+        import jax
+        import jax.numpy as jnp
+        if _sync_fn is None:
+            _sync_fn = jax.jit(
+                lambda a: jnp.abs(jnp.real(
+                    jnp.asarray(a).ravel()[0])).astype(jnp.float32))
+        leaves = jax.tree_util.tree_leaves(x)
+        if leaves:
+            float(_sync_fn(leaves[0]))
+    except Exception:
+        pass  # never let profiling break the run
 
 
 _global = Profiler()
