@@ -12,12 +12,18 @@
      volume exceeds one chip's HBM and belongs on the sharded mesh)
 
 Prints one summary line per config.  Usage:
-    python bench_configs.py [--cpu] [--configs 1 2 3 5 6]
+    python bench_configs.py [--cpu] [--configs 1 2 3 5 6] [--json OUT]
+
+``--json OUT`` additionally writes one record per config (warm
+seconds, solver iterations, dH, residuals, device) -- the committed
+HMC sec/trajectory artifact the VERDICT asks for (QEX's per-trajectory
+timer trees + solver stats, staghmc_spv.nim:1066-1090).
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import time
 
@@ -30,7 +36,10 @@ def main(argv=None) -> int:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--configs", type=int, nargs="+",
                     default=[1, 2, 3, 5, 6, 7])
+    ap.add_argument("--json", default=None,
+                    help="write per-config records to this JSON file")
     args = ap.parse_args(argv)
+    recs: list[dict] = []
 
     import jax
     if args.cpu:
@@ -90,6 +99,9 @@ def main(argv=None) -> int:
         dt = time.perf_counter() - t0
         print(f"CONFIG1 8^4 eo CG m=0.1: {dt:.3f} s, "
               f"its={int(sync(its))}, rel_r2={r2v:.2e}")
+        recs.append({"config": 1, "name": "8c4_eo_cg_m0.1",
+                     "warm_seconds": round(dt, 4),
+                     "iterations": int(sync(its)), "rel_r2": r2v})
 
     if 2 in args.configs:
         lat = Lattice((16, 16, 16, 16))
@@ -113,6 +125,9 @@ def main(argv=None) -> int:
         dt = time.perf_counter() - t0
         print(f"CONFIG2 16^4 Wilson flow t=1.0 ({steps} RK3 steps): "
               f"{dt:.3f} s, t2E_clover={val:.5f}")
+        recs.append({"config": 2, "name": "16c4_wilson_flow_t1",
+                     "warm_seconds": round(dt, 4),
+                     "t2e_clover": val})
 
     if 3 in args.configs:
         lat = Lattice((16, 16, 16, 32))
@@ -142,18 +157,24 @@ def main(argv=None) -> int:
         dt = time.perf_counter() - t0
         print(f"CONFIG3 16^3x32 quenched HMC (2MN, 20 steps): "
               f"{dt:.3f} s/traj, dH={sync(dH):+.4f}, plaq={plv:.5f}")
+        recs.append({"config": 3, "name": "16c3x32_quenched_hmc",
+                     "warm_sec_per_traj": round(dt, 4),
+                     "dH": sync(dH), "plaq": plv})
 
     if 4 in args.configs:
         # the staghmc_spv production composition (2 smeared staggered
         # fields + 1 PV boson + smeared and unsmeared gauge action);
-        # per-trajectory seconds line printed by the app itself
+        # TWO trajectories so the second gives the WARM sec/trajectory
+        # (all split-step jits compiled during the first)
+        import re
         import subprocess
         cmd = [sys.executable, "-m", "qex_tpu.apps.staghmc_spv",
-               "--ntraj", "1",
+               "--ntraj", "2",
                "-ns=24", "-nt=24", "-beta=7.0", "-tau=1.0",
                "-nf=8", "-mass=0.05", "-num_pv=1", "-mass_pv=0.5",
                "-g_steps=24", "-f_steps=12", "-pv_steps=12",
-               "-start=hot", "-no_metropolis_until=1"]
+               "-start=hot", "-no_metropolis_until=2",
+               "-check_solvers=1"]
         if args.cpu:
             cmd.append("--cpu")
         t0 = time.perf_counter()
@@ -162,9 +183,26 @@ def main(argv=None) -> int:
         ok = r.returncode == 0
         plaq = [ln for ln in r.stdout.splitlines()
                 if ln.startswith("MEASplaq ")]
-        print(f"CONFIG4 24^4 nHYP stag+PV HMC: {dt:.1f} s "
-              f"(incl. compiles), ok={ok}, "
+        # per-trajectory seconds + dH from the app's ACCEPT/REJECT
+        # lines; per-term solver its from the SOLVER lines
+        trajs = re.findall(r"^(?:ACCEPT|REJECT): dH (\S+) "
+                           r"\(([\d.]+) s\)", r.stdout, re.M)
+        solvers = re.findall(r"^SOLVER (\S+): its (\d+) relr2 (\S+)",
+                             r.stdout, re.M)
+        warm = float(trajs[-1][1]) if len(trajs) >= 2 else None
+        print(f"CONFIG4 24^4 nHYP stag+PV HMC: {dt:.1f} s total "
+              f"(incl. compiles), warm traj "
+              f"{warm if warm is not None else '?'} s, ok={ok}, "
               f"{plaq[-1] if plaq else r.stderr[-300:]}")
+        recs.append({
+            "config": 4, "name": "24c4_nhyp_stag_pv_hmc",
+            "ok": ok,
+            "total_seconds_incl_compiles": round(dt, 1),
+            "warm_sec_per_traj": warm,
+            "dH_per_traj": [float(d) for d, _ in trajs],
+            "solver_its": {n: int(i) for n, i, _ in solvers},
+            "solver_relr2": {n: float(x) for n, _, x in solvers},
+            "plaq": (float(plaq[-1].split()[1]) if plaq else None)})
 
     def hisq_multishift(tag, lat, fl, ll, seed):
         """4-mass HISQ multishift through the production routing
@@ -197,6 +235,9 @@ def main(argv=None) -> int:
         dt = time.perf_counter() - t0
         print(f"{tag} HISQ 4-mass multishift CG: {dt:.3f} s,"
               f" its={int(sync(its))}, worst rel_r2={r2v:.2e}")
+        recs.append({"config": tag.split()[0], "name": tag,
+                     "warm_seconds": round(dt, 4),
+                     "iterations": int(sync(its)), "worst_rel_r2": r2v})
 
     if 5 in args.configs:
         # single-chip HISQ timing point with REAL fattening at 24^3x48
@@ -247,6 +288,15 @@ def main(argv=None) -> int:
               f"{time.perf_counter()-t0:.1f} s (incl. compiles)")
         hisq_multishift("CONFIG7 32^3x64 (north-star volume)", lat,
                         fl, ll, 7)
+
+    if args.json:
+        out = {"device": str(dev.device_kind),
+               "platform": dev.platform,
+               "when": time.strftime("%Y-%m-%d %H:%M:%S"),
+               "records": recs}
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"# wrote {args.json} ({len(recs)} records)")
 
     return 0
 
