@@ -47,3 +47,58 @@ def test_seeded_hmc_chain_reproduces():
         assert float(st.dH) == pytest.approx(dh_ref, rel=RTOL, abs=1e-12)
         assert float(loops.plaquette(lat, u)) == pytest.approx(
             pl_ref, rel=RTOL)
+
+
+# --- fermionic golden chains (VERDICT round-2 item 2) -----------------------
+# Three seeded 4^4 staghmc_spv-composition chains pinned at 1e-10
+# (f64, CPU): plain Nf=4 + PV, Hasenbusch-split, nHYP-smeared + PV --
+# the reference's de-facto fermionic correctness contract
+# (/root/reference/tests/extra/staghmc_sh/run:20-44: seeded trajectory
+# logs diffed at 2e-11).  A silent change to the fermion heatbath
+# stream, CG-force sign, rooted/Hasenbusch composition, or smeared
+# force chain fails here loudly.  Regenerate ONLY on documented
+# convention changes: JAX_PLATFORMS=cpu python tools/gen_golden_fermion.py
+# (dH, plaq, pbp) per trajectory; params in tools/gen_golden_fermion.py.
+GOLDEN_FERMION = {
+    "plain_pv": [
+        (0.7977516919718255, 1.0, 0.39377029170628247),
+        (0.9132212515874016, 0.7189361898467947, 0.6456261778664704),
+        (0.3523182203423403, 0.6327168382404691, 0.6622240932078072),
+    ],
+    "hasenbusch": [
+        (0.9603491279726768, 1.0, 0.39377029170628247),
+        (1.0236884678811293, 0.7323028307197693, 0.597420728433744),
+        (0.2518730243157279, 0.6473556721902065, 0.6471874900211066),
+    ],
+    "nhyp_pv": [
+        (1.2994141704280082, 1.0, 0.39377029170628247),
+        (1.3308161998807009, 1.0, 0.3932153706213661),
+        (1.3318467452286313, 0.7313167840218266, 0.5728301518514229),
+    ],
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN_FERMION))
+def test_seeded_fermion_chain_reproduces(name):
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                    "..", "tools"))
+    from gen_golden_fermion import LAT, SEED, SP, compositions
+    from qex_tpu.observables.condensate import pbp_staggered
+
+    lat = Lattice(LAT)
+    theory = compositions(lat)[name]
+    u = group.unit_gauge(lat, jnp.complex128)
+    step = jax.jit(lambda k, uu: theory.hmc_step(k, uu))
+    meas = jax.jit(lambda k, uu: (
+        loops.plaquette(lat, uu),
+        pbp_staggered(k, lat, uu, 0.2, params=SP)))
+    for t, (dh_ref, pl_ref, pbp_ref) in enumerate(GOLDEN_FERMION[name]):
+        k = jax.random.fold_in(jax.random.PRNGKey(SEED), t)
+        u, st = step(k, u)
+        pl, pbp = meas(jax.random.fold_in(k, 999), u)
+        assert float(st.dH) == pytest.approx(dh_ref, rel=RTOL,
+                                             abs=1e-12), (name, t)
+        assert float(pl) == pytest.approx(pl_ref, rel=RTOL), (name, t)
+        assert float(pbp) == pytest.approx(pbp_ref, rel=RTOL), (name, t)
