@@ -84,15 +84,28 @@ def main(argv=None) -> int:
 
     peaks = {}
 
-    # staged forwards (run per shared kick)
+    # staged forwards (run per shared kick).  Two proj-stack variants:
+    # inline jnp.stack vs barrier-sequenced (mcmc/md._proj_stack --
+    # frees one projection's Newton-Schulz temporaries before the
+    # next starts; the staple addends inside pK are barrier-sequenced
+    # by gauge.smear._bar either way)
     def proj_stack(w):
         return jnp.stack([proj(w[j]) for j in range(w.shape[0])])
 
+    def proj_bar(w):
+        return jnp.stack([jax.lax.optimization_barrier(proj(w[j]))
+                          for j in range(w.shape[0])])
+
     peaks["fwd_s1"] = analyze("fwd s1 = proj(p1(u))",
                               lambda u: proj_stack(p1(u)), u_av)
+    peaks["fwd_s1b"] = analyze("fwd s1 (barrier proj)",
+                               lambda u: proj_bar(p1(u)), u_av)
     peaks["fwd_s2"] = analyze("fwd s2 = proj(p2(u,a1))",
                               lambda u, a: proj_stack(p2(u, a)),
                               u_av, l_av)
+    peaks["fwd_s2b"] = analyze("fwd s2 (barrier proj)",
+                               lambda u, a: proj_bar(p2(u, a)),
+                               u_av, l_av)
     peaks["fwd_s3"] = analyze("fwd s3 = proj(p3(u,a2))",
                               lambda u, a: proj_stack(p3(u, a)),
                               u_av, l_av)
@@ -115,11 +128,15 @@ def main(argv=None) -> int:
     peaks["prevjp3"] = analyze("L3 staple VJP (1 dir, fused)",
                                prevjp3, u_av, l_av, s1_av)
 
-    # per-addend level-3 staple VJP (current split mode)
-    f30 = t3s[0][1]  # one half-staple addend of output 0
+    # per-addend level-3 staple VJP (current split mode: slice-aware
+    # StageTerm -- the jit slices only the slabs the addend reads and
+    # returns only their gradients, mcmc/md term_vjp)
+    t30 = t3s[0][1]  # one half-staple addend of output 0
 
     def addvjp3(u, a, gw1):
-        _, vjp = jax.vjp(f30, u, a)
+        us = tuple(u[i] for i in t30.u_idx)
+        als = tuple(a[i] for i in t30.a_idx)
+        _, vjp = jax.vjp(t30.fn, us, als)
         return vjp(gw1)
 
     s1s_av = A((3, 3) + lat.dims, dt)
@@ -127,27 +144,47 @@ def main(argv=None) -> int:
                                addvjp3, u_av, l_av, s1s_av)
 
     # level-2: per-addend (current split mode) and fused one-output
-    f20 = t2s[0][1]
+    t20 = t2s[0][1]
 
     def addvjp2(u, a, gw1):
-        _, vjp = jax.vjp(f20, u, a)
+        us = tuple(u[i] for i in t20.u_idx)
+        als = tuple(a[i] for i in t20.a_idx)
+        _, vjp = jax.vjp(t20.fn, us, als)
         return vjp(gw1)
 
     peaks["addvjp2"] = analyze("L2 staple VJP (1 half-staple)",
                                addvjp2, u_av, l_av, s1s_av)
 
-    def prevjp2(u, a, gw, c_=0):
-        _, vjp = jax.vjp(lambda uu, aa: p2(uu, aa)[c_:c_ + 1], u, a)
-        return vjp(gw)
+    # donated slab add (the md.addslab accumulator: zero-copy)
+    slab_av = A((3, 3) + lat.dims, dt)
+    addslab = jax.jit(lambda x, y: x + y, donate_argnums=(0,))
+    try:
+        ma = addslab.lower(slab_av, slab_av).compile().memory_analysis()
+        print(f"{'addslab (donated)':<34} "
+              f"args {fmt(ma.argument_size_in_bytes)}  "
+              f"out {fmt(ma.output_size_in_bytes)}  "
+              f"temp {fmt(ma.temp_size_in_bytes)}  "
+              f"alias {fmt(ma.alias_size_in_bytes)}")
+    except Exception as e:
+        print(f"addslab analyze FAILED: {str(e)[:120]}")
 
-    peaks["prevjp2"] = analyze("L2 staple VJP (1 out, fused)",
-                               prevjp2, u_av, l_av, s1_av)
+    if mode == "fused2":
+        # reliably crashes the remote tpu_compile_helper (its own OOM)
+        # -- only attempted on request
+        def prevjp2(u, a, gw, c_=0):
+            _, vjp = jax.vjp(lambda uu, aa: p2(uu, aa)[c_:c_ + 1],
+                             u, a)
+            return vjp(gw)
+
+        peaks["prevjp2"] = analyze("L2 staple VJP (1 out, fused)",
+                                   prevjp2, u_av, l_av, s1_av)
 
     # level-1: u-only
-    f10 = t1s[0][1]
+    t10 = t1s[0][1]
 
     def addvjp1(u, gw1):
-        _, vjp = jax.vjp(f10, u)
+        us = tuple(u[i] for i in t10.u_idx)
+        _, vjp = jax.vjp(lambda uss: t10.fn(uss, ()), us)
         return vjp(gw1)[0]
 
     peaks["addvjp1"] = analyze("L1 staple VJP (1 half-staple)",

@@ -144,6 +144,15 @@ def nhyp_stages(c: HypCoefs, lat: Lattice, proj_iters: int = 14):
     return s1, s2, s3
 
 
+def _bar(x: jax.Array) -> jax.Array:
+    """Scheduling barrier: forces XLA to finish computing ``x`` before
+    any later addend's temporaries are allocated.  Without it the
+    compiler materializes ALL staple addends of a level concurrently
+    (one direction's staples alone peak 2.5 GB temp at 24^4 c64 on
+    v5e, exp_nhyp_mem.py); value- and gradient-neutral."""
+    return jax.lax.optimization_barrier(x)
+
+
 def nhyp_stages_preproj(c: HypCoefs, lat: Lattice,
                         proj_iters: int = 14):
     """The 3 nHYP levels with the U-projection factored OUT:
@@ -157,7 +166,9 @@ def nhyp_stages_preproj(c: HypCoefs, lat: Lattice,
     pullback can put the staple VJP and the Newton-Schulz projection
     VJP of each chunk in SEPARATE jit programs -- the fused
     per-direction level-3 pullback piece peaks ~15.9 GB HBM at 24^4,
-    right at the v5e capacity (mcmc/md._smeared_split_jits)."""
+    right at the v5e capacity (mcmc/md._smeared_split_jits).
+    Addends and outputs are sequenced with optimization barriers
+    (:func:`_bar`) to bound the transient working set."""
     nd = lat.nd
     if nd != 4:
         raise ValueError("nHYP smearing requires nd=4")
@@ -166,9 +177,9 @@ def nhyp_stages_preproj(c: HypCoefs, lat: Lattice,
     def p1(u):
         out = []
         for mu, nu in _HYP_PAIRS:
-            out.append((1.0 - c.alpha1) * u[mu]
-                       + 0.5 * c.alpha1
-                       * sym_staple(u[nu], u[mu], nu, mu, nd))
+            out.append(_bar((1.0 - c.alpha1) * u[mu]
+                            + 0.5 * c.alpha1
+                            * sym_staple(u[nu], u[mu], nu, mu, nd)))
         return jnp.stack(out)
 
     def p2(u, l1):
@@ -178,9 +189,9 @@ def nhyp_stages_preproj(c: HypCoefs, lat: Lattice,
             acc = (1.0 - c.alpha2) * u[mu]
             for a in comp:
                 b = comp[0] if comp[1] == a else comp[1]
-                acc = acc + 0.25 * c.alpha2 * sym_staple(
+                acc = _bar(acc + 0.25 * c.alpha2 * sym_staple(
                     l1[_HYP_IDX[(a, b)]], l1[_HYP_IDX[(mu, b)]], a, mu,
-                    nd)
+                    nd))
             out.append(acc)
         return jnp.stack(out)
 
@@ -191,18 +202,34 @@ def nhyp_stages_preproj(c: HypCoefs, lat: Lattice,
             for nu in range(nd):
                 if nu == mu:
                     continue
-                acc = acc + (c.alpha3 / 6.0) * sym_staple(
+                acc = _bar(acc + (c.alpha3 / 6.0) * sym_staple(
                     l2[_HYP_IDX[(nu, mu)]], l2[_HYP_IDX[(mu, nu)]], nu,
-                    mu, nd)
+                    mu, nd))
             out.append(acc)
         return jnp.stack(out)
 
     return (p1, p2, p3), proj
 
 
+@dataclasses.dataclass(frozen=True)
+class StageTerm:
+    """One addend of a pre-projection stage output, declared with the
+    EXACT input slabs it reads (``u_idx`` into the gauge stack,
+    ``a_idx`` into the level's 12-field input stack) so huge-volume
+    pullbacks can slice out only those slabs and get back only their
+    gradients -- a dense per-addend (gu, ga) pair alone is 1.9 GB at
+    24^4 c64 (exp_nhyp_mem.py), and the north-star volume is 6.3x
+    that.  ``fn(us, als)`` takes tuples of (3, 3, *dims) slabs."""
+
+    fn: object
+    u_idx: tuple = ()
+    a_idx: tuple = ()
+
+
 def nhyp_stage_terms(c: HypCoefs, lat: Lattice):
-    """Per-(output, addend) functions of the pre-projection stages:
-    ``sum(f(u[, a]) for f in termsK[out]) == pK(u[, a])[out]``.
+    """Per-(output, addend) :class:`StageTerm` lists of the
+    pre-projection stages:
+    ``sum(t.fn(u-slabs, a-slabs) for t in termsK[out]) == pK(u[, a])[out]``.
     Granularity: base link + each half-staple separately, so the
     huge-volume split pullback can VJP one addend per jit program
     (a whole level-2 output's staple VJP peaked 17 GB HBM at 24^4 in
@@ -211,38 +238,42 @@ def nhyp_stage_terms(c: HypCoefs, lat: Lattice):
 
     def t1(out):
         mu, nu = _HYP_PAIRS[out]
-        fns = [lambda u, mu=mu: (1.0 - c.alpha1) * u[mu]]
+        terms = [StageTerm(lambda us, als: (1.0 - c.alpha1) * us[0],
+                           (mu,), ())]
         for h in (0, 1):
-            fns.append(lambda u, mu=mu, nu=nu, h=h:
-                       0.5 * c.alpha1
-                       * sym_staple_half(u[nu], u[mu], nu, mu, nd, h))
-        return fns
+            terms.append(StageTerm(
+                lambda us, als, h=h: 0.5 * c.alpha1
+                * sym_staple_half(us[0], us[1], nu, mu, nd, h),
+                (nu, mu), ()))
+        return terms
 
     def t2(out):
         mu, nu = _HYP_PAIRS[out]
         comp = [d for d in range(nd) if d not in (mu, nu)]
-        fns = [lambda u, l1, mu=mu: (1.0 - c.alpha2) * u[mu]]
+        terms = [StageTerm(lambda us, als: (1.0 - c.alpha2) * us[0],
+                           (mu,), ())]
         for a in comp:
             b = comp[0] if comp[1] == a else comp[1]
             for h in (0, 1):
-                fns.append(lambda u, l1, a=a, b=b, mu=mu, h=h:
-                           0.25 * c.alpha2 * sym_staple_half(
-                               l1[_HYP_IDX[(a, b)]],
-                               l1[_HYP_IDX[(mu, b)]], a, mu, nd, h))
-        return fns
+                terms.append(StageTerm(
+                    lambda us, als, a=a, h=h: 0.25 * c.alpha2
+                    * sym_staple_half(als[0], als[1], a, mu, nd, h),
+                    (), (_HYP_IDX[(a, b)], _HYP_IDX[(mu, b)])))
+        return terms
 
     def t3(out):
         mu = out
-        fns = [lambda u, l2, mu=mu: (1.0 - c.alpha3) * u[mu]]
+        terms = [StageTerm(lambda us, als: (1.0 - c.alpha3) * us[0],
+                           (mu,), ())]
         for nu in range(nd):
             if nu == mu:
                 continue
             for h in (0, 1):
-                fns.append(lambda u, l2, nu=nu, mu=mu, h=h:
-                           (c.alpha3 / 6.0) * sym_staple_half(
-                               l2[_HYP_IDX[(nu, mu)]],
-                               l2[_HYP_IDX[(mu, nu)]], nu, mu, nd, h))
-        return fns
+                terms.append(StageTerm(
+                    lambda us, als, nu=nu, h=h: (c.alpha3 / 6.0)
+                    * sym_staple_half(als[0], als[1], nu, mu, nd, h),
+                    (), (_HYP_IDX[(nu, mu)], _HYP_IDX[(mu, nu)])))
+        return terms
 
     return ([t1(o) for o in range(12)],
             [t2(o) for o in range(12)],

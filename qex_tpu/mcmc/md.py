@@ -25,6 +25,7 @@ trick is applied per kick.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Callable, Sequence
 
 import jax
@@ -306,12 +307,12 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
             (p1, p2, p3), proj = transform_stages
 
         def _proj_stack(w):
-            # sequential (lax.map = scan) so XLA reuses one
-            # projection's temporaries across the 12 stacked fields:
-            # the inline-stacked form held several Newton-Schulz
-            # chains live at once (fwd s2 peaked 2.8 GB at 24^4 in
-            # the exp_nhyp_mem.py analysis; map bounds it to ~1 slab)
-            return jax.lax.map(proj, w)
+            # plain inline stack: both lax.map (6.60 vs 6.13 GB) and
+            # barrier-sequencing (6.26/10.10 vs 6.06/9.83 GB) measured
+            # slightly WORSE on v5e at 24^4 (exp_nhyp_mem.py); the
+            # staple-addend barriers inside pK (gauge.smear._bar) are
+            # the ones that pay (L3 pre fwd 4.52 -> 3.49 GB)
+            return jnp.stack([proj(w[j]) for j in range(w.shape[0])])
 
         s1 = lambda u: _proj_stack(p1(u))
         s2 = lambda u, a1: _proj_stack(p2(u, a1))
@@ -333,17 +334,23 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
     # split_proj mode each chunk therefore runs as THREE separate jit
     # programs -- pre-projection forward, projection VJP, staple VJP --
     # none of which holds both backward chains at once.
-    def _pb_split(pre, nout, nchunks, u_only=False, terms=None):
+    # donated slab add: x's buffer is reused for the output, so
+    # accumulating N addends into a slab costs ZERO extra HBM (the
+    # dense-stack .at[i].add accumulator measured a 2.14 GB temp per
+    # call at 24^4 -- it copies the whole stack -- and would scale to
+    # 13 GB at the north-star volume; exp_nhyp_mem.py)
+    addslab = jax.jit(lambda x, y: x + y, donate_argnums=(0,))
+
+    def _merge_slabs(dst, idx, slabs):
+        for i, s in zip(idx, slabs):
+            dst[i] = s if dst[i] is None else addslab(dst[i], s)
+
+    def _pb_split(pre, nout, nchunks, u_only=False):
         """Pullback of proj(pre(...)) with the three parts in separate
         jit programs per chunk: pre-projection forward, projection VJP,
-        pre VJP.  With ``terms`` (per-output addend functions summing
-        to pre(...)[out]; chunk size must be 1) the pre VJP is further
-        split per ADDEND -- the VJP of a sum is the sum of the addend
-        VJPs at the same cotangent, and one whole level-2 output's
-        staple VJP alone peaked 17 GB HBM at 24^4."""
+        pre VJP.  (Fused-chunk fallback for stages without per-addend
+        terms; the production nHYP path uses :func:`_pb_terms`.)"""
         k = nout // nchunks
-        if terms is not None and k != 1:
-            raise ValueError("per-term pullback requires chunk size 1")
 
         def piece(c):
             lo = c * k
@@ -359,22 +366,7 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
                                           for j in range(k)]), w)
                 return vjp(g_sl)[0]
 
-            if terms is not None:
-                def term_vjp(f):
-                    if u_only:
-                        @jax.jit
-                        def pv(u, gw1):
-                            _, vjp = jax.vjp(f, u)
-                            return vjp(gw1)[0]
-                    else:
-                        @jax.jit
-                        def pv(u, a, gw1):
-                            _, vjp = jax.vjp(f, u, a)
-                            return vjp(gw1)
-                    return pv
-
-                prevjp = [term_vjp(f) for f in terms[c]]
-            elif u_only:
+            if u_only:
                 @jax.jit
                 def prevjp(u, gw):
                     _, vjp = jax.vjp(lambda uu: pre(uu)[lo:lo + k], u)
@@ -395,13 +387,8 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
                 for c, (pre_c, projvjp, prevjp) in enumerate(pieces):
                     w = pre_c(u)
                     gw = projvjp(w, g[c * k:(c + 1) * k])
-                    if isinstance(prevjp, list):
-                        for pv in prevjp:
-                            gu_c = pv(u, gw[0])
-                            gu = gu_c if gu is None else add(gu, gu_c)
-                    else:
-                        gu_c = prevjp(u, gw)
-                        gu = gu_c if gu is None else add(gu, gu_c)
+                    gu_c = prevjp(u, gw)
+                    gu = gu_c if gu is None else add(gu, gu_c)
                 return gu
         else:
             def run(u, a, g):
@@ -409,16 +396,94 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
                 for c, (pre_c, projvjp, prevjp) in enumerate(pieces):
                     w = pre_c(u, a)
                     gw = projvjp(w, g[c * k:(c + 1) * k])
-                    pvs = prevjp if isinstance(prevjp, list) else None
-                    if pvs is not None:
-                        for pv in pvs:
-                            gu_c, ga_c = pv(u, a, gw[0])
-                            gu = gu_c if gu is None else add(gu, gu_c)
-                            ga = ga_c if ga is None else add(ga, ga_c)
-                    else:
-                        gu_c, ga_c = prevjp(u, a, gw)
-                        gu = gu_c if gu is None else add(gu, gu_c)
-                        ga = ga_c if ga is None else add(ga, ga_c)
+                    gu_c, ga_c = prevjp(u, a, gw)
+                    gu = gu_c if gu is None else add(gu, gu_c)
+                    ga = ga_c if ga is None else add(ga, ga_c)
+                return gu, ga
+        return run
+
+    def _pb_terms(pre, nout, terms, u_only=False, g_list=False):
+        """Slab-list pullback of proj(pre(...)): one output per chunk,
+        pre VJP split per ADDEND (smear.StageTerm), every gradient a
+        LIST of (3, 3, *dims) slabs.  Each addend jit receives the
+        full (shared, already-live) u/a buffers but slices out ONLY
+        the slabs it reads and returns ONLY their gradients; slabs
+        accumulate with the zero-copy donated add.  No dense gradient
+        stack is ever materialized between levels -- a dense per-addend
+        (gu, ga) out alone is 1.9 GB at 24^4 c64 and 12 GB at the
+        north-star volume, and the fused per-direction level-3 piece
+        peaks 15.3-16.9 GB = OOM on v5e (exp_nhyp_mem.py; the round-3
+        CONFIG4 failure).
+
+        ``g_list``: the incoming cotangent is itself a slab list from
+        the level above (levels 1/2); level 3's cotangent is the dense
+        4-stack chain."""
+        def piece(c):
+            if u_only:
+                pre_c = jax.jit(lambda u: pre(u)[c:c + 1])
+            else:
+                pre_c = jax.jit(lambda u, a: pre(u, a)[c:c + 1])
+
+            if g_list:
+                @jax.jit
+                def projvjp(w, g_slab):
+                    _, vjp = jax.vjp(
+                        lambda ww: jnp.stack([proj(ww[0])]), w)
+                    return vjp(g_slab[None])[0]
+            else:
+                @jax.jit
+                def projvjp(w, g):
+                    _, vjp = jax.vjp(
+                        lambda ww: jnp.stack([proj(ww[0])]), w)
+                    return vjp(g[c:c + 1])[0]
+
+            def term_vjp(t):
+                if u_only:
+                    @jax.jit
+                    def pv(u, gw1):
+                        us = tuple(u[i] for i in t.u_idx)
+                        _, vjp = jax.vjp(lambda uss: t.fn(uss, ()), us)
+                        return vjp(gw1)[0]
+                else:
+                    @jax.jit
+                    def pv(u, a, gw1):
+                        us = tuple(u[i] for i in t.u_idx)
+                        als = tuple(a[i] for i in t.a_idx)
+                        _, vjp = jax.vjp(t.fn, us, als)
+                        return vjp(gw1)
+                return pv, t.u_idx, t.a_idx
+
+            return pre_c, projvjp, [term_vjp(t) for t in terms[c]]
+
+        pieces = [piece(c) for c in range(nout)]
+        na = 12  # level input stacks are 12 fields
+        zslab = jax.jit(lambda u: jnp.zeros_like(u[0]))
+
+        def cot(g, c, u):
+            if not g_list:
+                return g
+            return g[c] if g[c] is not None else zslab(u)
+
+        if u_only:
+            def run(u, g):
+                gu = [None] * u.shape[0]
+                for c, (pre_c, projvjp, pvs) in enumerate(pieces):
+                    w = pre_c(u)
+                    gw = projvjp(w, cot(g, c, u))
+                    for pv, u_idx, _a_idx in pvs:
+                        _merge_slabs(gu, u_idx, pv(u, gw[0]))
+                return gu
+        else:
+            def run(u, a, g):
+                gu = [None] * u.shape[0]
+                ga = [None] * na
+                for c, (pre_c, projvjp, pvs) in enumerate(pieces):
+                    w = pre_c(u, a)
+                    gw = projvjp(w, cot(g, c, u))
+                    for pv, u_idx, a_idx in pvs:
+                        gus, gals = pv(u, a, gw[0])
+                        _merge_slabs(gu, u_idx, gus)
+                        _merge_slabs(ga, a_idx, gals)
                 return gu, ga
         return run
 
@@ -445,19 +510,22 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
 
         return run
 
-    if split_proj:
-        # level-3: one direction per chunk (the fused piece peaked at
-        # the 15.75G capacity; split pieces compile).  Levels 1/2: one
-        # stacked field per chunk -- a 3-field staple-VJP piece still
-        # peaked 20.2G at 24^4.
-        t1s = t2s = t3s = None
-        if stage_terms is not None:
-            t1s, t2s, t3s = stage_terms
-        # level-3: per-direction pieces compile in loop-linalg mode;
-        # levels 1/2 need per-addend VJP programs (see _pb_split)
+    terms_mode = False
+    if split_proj and stage_terms is not None:
+        # production nHYP path: per-addend slab-list pullbacks at ALL
+        # three levels.  (Round 2 kept level 3 as fused per-direction
+        # pieces "at exactly the 15.75G capacity" -- re-measured at
+        # 15.3-16.9 GB at 24^4 c64 on v5e = the CONFIG4 OOM; the
+        # per-addend pieces are 2.8 GB each.)
+        t1s, t2s, t3s = stage_terms
+        pb3 = _pb_terms(p3, 4, t3s)
+        pb2 = _pb_terms(p2, 12, t2s, g_list=True)
+        pb1 = _pb_terms(p1, 12, t1s, u_only=True, g_list=True)
+        terms_mode = True
+    elif split_proj:
         pb3 = _pb_split(p3, 4, 4)
-        pb2 = _pb_split(p2, 12, 12, terms=t2s)
-        pb1 = _pb_split(p1, 12, 12, u_only=True, terms=t1s)
+        pb2 = _pb_split(p2, 12, 12)
+        pb1 = _pb_split(p1, 12, 12, u_only=True)
     else:
         pb3 = _pb_chunked(s3, 4, 4)
         pb2 = _pb_chunked(s2, 12, 4)
@@ -470,6 +538,13 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
     def smear(u):
         return j3(u, j2(u, j1(u)))
 
+    @jax.jit
+    def finish_kick_slabs(u, p, gu_slabs):
+        gu = jnp.stack(gu_slabs)
+        m = jax.vmap(lambda uu, gg: linalg.mul_na(uu, jnp.conj(gg)))(
+            u, gu)
+        return p + jax.vmap(group.tah)(m)
+
     def pullback_kick(u, p, chain, a1=None, a2=None):
         # a1/a2 may be threaded from the kick's forward smear (the
         # same-time chain evaluation) to skip recomputing j1/j2 here
@@ -477,6 +552,14 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
             a1 = j1(u)
         if a2 is None:
             a2 = j2(u, a1)
+        if terms_mode:
+            gu, ga2 = pb3(u, a2, chain)
+            gu2, ga1 = pb2(u, a1, ga2)
+            gu1 = pb1(u, ga1)
+            for lst in (gu2, gu1):
+                idx = [i for i, s in enumerate(lst) if s is not None]
+                _merge_slabs(gu, idx, [lst[i] for i in idx])
+            return finish_kick_slabs(u, p, gu)
         gu3, ga2 = pb3(u, a2, chain)
         gu2, ga1 = pb2(u, a1, ga2)
         gu1 = pb1(u, ga1)

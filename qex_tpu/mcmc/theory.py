@@ -308,6 +308,54 @@ class LatticeFieldTheory:
             out[name] = base.check_solve(v, phi)
         return out
 
+    def reverse_check_split(self, key: jax.Array, u: jax.Array) -> dict:
+        """:meth:`reverse_check` via the split-step dispatcher -- the
+        only reversibility path that compiles at north-star volumes
+        (the fused whole-trajectory VJP program exceeds the compiler's
+        memory envelope at 24^4+)."""
+        from ..ops import linalg
+        lat = self.lat
+        transform = (self._smear
+                     if any(t.smeared for t in self.terms) else None)
+        stages = None
+        if transform is not None and isinstance(self.smear_coefs,
+                                                HypCoefs):
+            pre, proj = nhyp_stages_preproj(self.smear_coefs, lat)
+            stages = (pre, proj,
+                      nhyp_stage_terms(self.smear_coefs, lat))
+
+        @jax.jit
+        def begin(key, u):
+            kp, kf, _ = jax.random.split(key, 3)
+            nd, nc = u.shape[0], u.shape[1]
+            p = jax.vmap(lambda k: group.random_tah(
+                k, u.shape[3:], nc, u.dtype))(jax.random.split(kp, nd))
+            phis = self.heatbath(kf, u)
+            return p, phis, self.hamiltonian(u, p, phis)
+
+        ham = jax.jit(self.hamiltonian)
+        p, phis, h0 = begin(key, u)
+        u1, p1 = run_trajectory_split(self.terms, u, p, phis, self.tau,
+                                      hmc_mod.gauge_update_u,
+                                      transform=transform,
+                                      transform_stages=stages)
+        h1 = ham(u1, p1, phis)
+        u2, p2 = run_trajectory_split(self.terms, u1,
+                                      jax.jit(lambda x: -x)(p1), phis,
+                                      self.tau, hmc_mod.gauge_update_u,
+                                      transform=transform,
+                                      transform_stages=stages)
+        h2 = ham(u2, p2, phis)
+
+        @jax.jit
+        def devs(u2, u, p2, p):
+            return (linalg.norm2(u2 - u) / linalg.norm2(u),
+                    linalg.norm2(p2 + p) / linalg.norm2(p))
+
+        ud, pd = devs(u2, u, p2, p)
+        return {"h0": h0, "h1": h1, "h2": h2, "dH_fwd": h1 - h0,
+                "dH_rev": h2 - h0, "u_dev2": ud, "p_dev2": pd}
+
     def hmc_step_split(self, key: jax.Array, u: jax.Array,
                        always_accept: bool | jax.Array = False,
                        prof=None):
