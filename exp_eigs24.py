@@ -69,10 +69,9 @@ def main(argv=None) -> int:
           f"cycles {res.info['cycles']}, window {res.info['window']})")
 
     # --- deflation A/B at the light mass --------------------------------
+    # links passed as jit ARGUMENTS (closures serialize into the
+    # remote-compile request: HTTP 413 at this volume)
     mass = 0.05
-    s3 = st.new_stag3_eo(lat, fl, ll)
-    f3 = sf.new_fast3(s3)
-    ee, _dd = _fast3_ops(f3)
     evals, vecs = deflation_basis(res, mass)
 
     key = jax.random.PRNGKey(99)
@@ -86,25 +85,32 @@ def main(argv=None) -> int:
                           lat)
 
     b = mkrhs()
-    op = lambda v: ee(v, mass)
+
+    def mkop(fl, ll):
+        s3 = st.new_stag3_eo(lat, fl, ll)
+        f3 = sf.new_fast3(s3)
+        ee, _dd = _fast3_ops(f3)
+        return lambda v: ee(v, mass)
 
     @jax.jit
-    def plain(b):
-        x, stats = cg.cg_solve(op, b, r2req=1e-10, maxits=3000)
-        return (jnp.real(stats.r2).astype(jnp.float32),
-                stats.iterations.astype(jnp.float32))
-
-    @jax.jit
-    def defl(b, evals, vecs):
-        vf = jnp.stack([sf.to_fast(vecs[i], lat)
-                        for i in range(vecs.shape[0])])
-        x, stats = deflated_cg(op, b, evals, vf, r2req=1e-10,
+    def plain(b, fl, ll):
+        x, stats = cg.cg_solve(mkop(fl, ll), b, r2req=1e-10,
                                maxits=3000)
         return (jnp.real(stats.r2).astype(jnp.float32),
                 stats.iterations.astype(jnp.float32))
 
-    for name, fn, args in (("plain", plain, (b,)),
-                           ("deflated", defl, (b, evals, vecs))):
+    @jax.jit
+    def defl(b, fl, ll, evals, vecs):
+        vf = jnp.stack([sf.to_fast(vecs[i], lat)
+                        for i in range(vecs.shape[0])])
+        x, stats = deflated_cg(mkop(fl, ll), b, evals, vf,
+                               r2req=1e-10, maxits=3000)
+        return (jnp.real(stats.r2).astype(jnp.float32),
+                stats.iterations.astype(jnp.float32))
+
+    for name, fn, args in (("plain", plain, (b, fl, ll)),
+                           ("deflated", defl,
+                            (b, fl, ll, evals, vecs))):
         r2, its = fn(*args)
         float(r2)  # compile+warm
         t0 = time.time()

@@ -31,23 +31,28 @@ def chebyshev_filter(op: Callable, a: float, b: float, degree: int
 
     Modes with eigenvalue x < a are amplified ~ cosh(degree *
     acosh(|l(x)|)); modes inside [a, b] stay bounded by 1.
+
+    ``op`` may take trailing operator arguments (big link arrays must
+    be jit ARGUMENTS on the tunneled TPU, never closures -- closed-over
+    arrays serialize into the remote-compile request); the returned
+    filter forwards them: ``filt(v, *op_args)``.
     """
     if not (b > a):
         raise ValueError(f"need b > a, got [{a}, {b}]")
     center = 0.5 * (b + a)
     half = 0.5 * (b - a)
 
-    def l_op(v):
-        return (op(v) - center * v) / half
+    def l_op(v, *args):
+        return (op(v, *args) - center * v) / half
 
-    def filt(v):
+    def filt(v, *args):
         t0 = v
-        t1 = l_op(v)
+        t1 = l_op(v, *args)
         if degree == 0:
             return t0
         def body(_, carry):
             tm1, t = carry
-            tp1 = 2.0 * l_op(t) - tm1
+            tp1 = 2.0 * l_op(t, *args) - tm1
             return (t, tp1)
         tm1, t = jax.lax.fori_loop(0, degree - 1, body, (t0, t1))
         return t
@@ -84,16 +89,16 @@ def estimate_spectral_range(op: Callable, example: jax.Array,
 
 def estimate_spectral_range_dev(op: Callable, example: jax.Array,
                                 m: int = 30, seed: int = 7,
-                                safety: float = 1.05
+                                safety: float = 1.05, op_args=()
                                 ) -> tuple[float, float]:
     """:func:`estimate_spectral_range` with the whole m-step Lanczos +
     tridiagonal eigensolve in ONE jit, fetching only the two bracket
     scalars -- required on the axon-tunneled TPU (no eager ops, no
     array transfers)."""
-    rdtype = jnp.zeros((), example.dtype).real.dtype
+    rdtype = np.zeros((), example.dtype).real.dtype
 
     @jax.jit
-    def run():
+    def run(*args):
         key = jax.random.PRNGKey(seed)
         v = (jax.random.normal(key, example.shape, rdtype)
              + 1j * jax.random.normal(jax.random.fold_in(key, 1),
@@ -108,7 +113,7 @@ def estimate_spectral_range_dev(op: Callable, example: jax.Array,
 
         def body(j, carry):
             bb, al, be = carry
-            w = op(bb[j])
+            w = op(bb[j], *args)
             c1 = jnp.einsum("k...,...->k", jnp.conj(bb), w)
             c1 = c1 * (idx <= j).astype(c1.dtype)
             w = w - jnp.einsum("k,k...->...", c1, bb)
@@ -130,7 +135,7 @@ def estimate_spectral_range_dev(op: Callable, example: jax.Array,
         hi = ev[-1] + safety * jnp.abs(b_last * evec[m - 1, -1])
         return lo, hi
 
-    lo, hi = run()
+    lo, hi = run(*op_args)
     return float(lo), float(hi)
 
 
@@ -138,8 +143,8 @@ def eigs_filtered(op: Callable, example: jax.Array, n_eigs: int, *,
                   degree: int = 20, window: tuple[float, float]
                   | None = None, m: int | None = None,
                   max_restarts: int = 40, tol: float = 1e-8,
-                  seed: int = 0, device: bool | None = None
-                  ) -> tuple[np.ndarray, jax.Array, dict]:
+                  seed: int = 0, device: bool | None = None,
+                  op_args=()) -> tuple[np.ndarray, jax.Array, dict]:
     """Lowest ``n_eigs`` eigenpairs of hermitian ``op`` via
     Chebyshev-filtered thick-restart Lanczos.
 
@@ -155,9 +160,12 @@ def eigs_filtered(op: Callable, example: jax.Array, n_eigs: int, *,
     if device is None:
         device = jax.default_backend() != "cpu"
     if window is None:
-        est = (estimate_spectral_range_dev if device
-               else estimate_spectral_range)
-        lo, hi = est(op, example)
+        if device:
+            lo, hi = estimate_spectral_range_dev(op, example,
+                                                 op_args=op_args)
+        else:
+            lo, hi = estimate_spectral_range(
+                (lambda v: op(v, *op_args)) if op_args else op, example)
         window = (lo + 0.1 * (hi - lo), hi)
     filt = chebyshev_filter(op, window[0], window[1], degree)
 
@@ -167,22 +175,27 @@ def eigs_filtered(op: Callable, example: jax.Array, n_eigs: int, *,
     if degree % 2 == 1:
         degree += 1
         filt = chebyshev_filter(op, window[0], window[1], degree)
-    eig_fn = eigs_hermitian_dev if device else eigs_hermitian
-    _fvals, vecs, info = eig_fn(filt, example, n_eigs,
-                                which="largest", m=m,
-                                max_restarts=max_restarts,
-                                tol=tol, seed=seed)
+    if device:
+        _fvals, vecs, info = eigs_hermitian_dev(
+            filt, example, n_eigs, which="largest", m=m,
+            max_restarts=max_restarts, tol=tol, seed=seed,
+            op_args=op_args)
+    else:
+        _fvals, vecs, info = eigs_hermitian(
+            (lambda v: filt(v, *op_args)) if op_args else filt,
+            example, n_eigs, which="largest", m=m,
+            max_restarts=max_restarts, tol=tol, seed=seed)
     info["degree"] = degree
     info["window"] = window
     info["matvecs_A"] = info["matvecs"] * degree
 
     # Rayleigh quotients + true residuals on A, one jit, scalar fetches
     @jax.jit
-    def rayleigh(vecs):
+    def rayleigh(vecs, *args):
         ths, rs = [], []
         for i in range(vecs.shape[0]):  # static unroll, n is small
             v = vecs[i]
-            av = op(v)
+            av = op(v, *args)
             th = jnp.real(jnp.einsum("...,...->", jnp.conj(v), av))
             r = jnp.sqrt(jnp.sum(jnp.abs(av - th.astype(av.dtype) * v)
                                  ** 2))
@@ -190,7 +203,7 @@ def eigs_filtered(op: Callable, example: jax.Array, n_eigs: int, *,
             rs.append(r)
         return jnp.stack(ths), jnp.stack(rs)
 
-    th_d, r_d = rayleigh(vecs)
+    th_d, r_d = rayleigh(vecs, *op_args)
     pick = jax.jit(lambda a, i: a[i])
     thetas = np.array([float(pick(th_d, i))
                        for i in range(vecs.shape[0])])

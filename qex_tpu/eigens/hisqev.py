@@ -39,29 +39,62 @@ class EigResult:
 
 
 def _normal_op(lat: Lattice, u: jax.Array, bc: str, naik: bool,
-               links=None) -> tuple[Callable, jax.Array]:
+               links=None) -> tuple[Callable, jax.Array, tuple]:
     """``links``: optional precomputed (fat, long) pair -- lets large
     volumes reuse gauge.fat7.hisq_links_lowmem output (the fused
-    fattening exceeds one chip's HBM at 24^3x48+) and implies naik."""
+    fattening exceeds one chip's HBM at 24^3x48+) and implies naik.
+
+    Returns (op, example, op_args): the operator is called as
+    ``op(v, *op_args)`` with the LINK ARRAYS as explicit arguments --
+    on the tunneled TPU a closed-over array becomes a compile-time
+    constant serialized into the remote-compile request (observed as
+    HTTP 413 at 24^3x48); the eigensolver jits thread op_args through.
+    """
     if links is not None:
         fat, long = links
-        s3 = st.new_stag3_eo(lat, fat, long)
-        op = jax.jit(lambda v: st.d2dd3(s3, v, parity=0))
+        if jax.default_backend() != "cpu":
+            # production fast/fused operator (stag_hmc routing: the
+            # 16-term Pallas stencil on TPU), built INSIDE the jit
+            # from the passed links, bracketed by layout converters so
+            # callers keep the canonical eo layout
+            from ..physics import stag_fast as sf
+            from ..physics.stag_hmc import _fast3_ops
+
+            def op(v, fat, long):
+                s3 = st.new_stag3_eo(lat, fat, long)
+                f3 = sf.new_fast3(s3)
+                _ee, dd = _fast3_ops(f3)
+                return sf.from_fast(dd(sf.to_fast(v, lat)), lat)
+        else:
+            def op(v, fat, long):
+                s3 = st.new_stag3_eo(lat, fat, long)
+                return st.d2dd3(s3, v, parity=0)
+        op_args = (fat, long)
         dtype = fat.dtype
     elif naik:
         from ..gauge.fat7 import hisq_links
         g = st.phase_links(lat, u, bc)
         fat, long = hisq_links(lat, g)
-        s3 = st.new_stag3_eo(lat, fat, long)
-        op = jax.jit(lambda v: st.d2dd3(s3, v, parity=0))
+
+        def op(v, fat, long):
+            s3 = st.new_stag3_eo(lat, fat, long)
+            return st.d2dd3(s3, v, parity=0)
+
+        op_args = (fat, long)
         dtype = u.dtype
     else:
-        s = st.new_stag_eo(lat, u, bc)
-        op = jax.jit(lambda v: st.d2dd(s, v, parity=0))
+        def op(v, u):
+            s = st.new_stag_eo(lat, u, bc)
+            return st.d2dd(s, v, parity=0)
+
+        op_args = (u,)
         dtype = u.dtype
     shape = (lat.nc,) + lat.dims[:-1] + (lat.dims[-1] // 2,)
-    example = jnp.zeros(shape, dtype)
-    return op, example
+    # abstract example: a real jnp.zeros here is an EAGER op, which
+    # the axon-tunneled TPU cannot dispatch (CLAUDE.md); the solvers
+    # only consume .shape/.dtype
+    example = jax.ShapeDtypeStruct(shape, dtype)
+    return op, example, op_args
 
 
 def stag_eigs(lat: Lattice, u: jax.Array, n: int, *, bc: str = "pppa",
@@ -79,11 +112,11 @@ def stag_eigs(lat: Lattice, u: jax.Array, n: int, *, bc: str = "pppa",
     gauge.fat7.hisq_links_lowmem at volumes where the fused fattening
     does not fit); ``u`` may then be None.
     """
-    op, example = _normal_op(lat, u, bc, naik, links)
+    op, example, op_args = _normal_op(lat, u, bc, naik, links)
     evals, vecs, info = eigs_filtered(op, example, n, degree=degree,
                                       tol=tol, m=m,
                                       max_restarts=max_restarts,
-                                      seed=seed)
+                                      seed=seed, op_args=op_args)
     resids = info["true_residuals"]
     svals = np.sqrt(np.maximum(evals, 0.0))
     if verbose:
@@ -101,12 +134,14 @@ def spectral_range_stag(lat: Lattice, u: jax.Array, mass: float, *,
     for the rooted fermion's rational approximation interval
     (replacing the loose m^2 + nd^2 bound; QEX parity: hisqev-style
     bounds feeding mcmc/utilities/rational.nim table selection)."""
-    op, example = _normal_op(lat, u, bc, naik, links)
+    op, example, op_args = _normal_op(lat, u, bc, naik, links)
     if jax.default_backend() != "cpu":
         from .chebyshev import estimate_spectral_range_dev
-        lo, hi = estimate_spectral_range_dev(op, example, m=m)
+        lo, hi = estimate_spectral_range_dev(op, example, m=m,
+                                             op_args=op_args)
     else:
-        lo, hi = estimate_spectral_range(op, example, m=m)
+        lo, hi = estimate_spectral_range(
+            lambda v: op(v, *op_args), example, m=m)
     mm = mass * mass
     return max(mm, mm + lo), mm + hi
 

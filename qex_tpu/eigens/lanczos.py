@@ -134,7 +134,7 @@ def eigs_hermitian(op: Callable, example: jax.Array, n_eigs: int,
 def eigs_hermitian_dev(op: Callable, example: jax.Array, n_eigs: int,
                        *, which: str = "smallest", m: int | None = None,
                        max_restarts: int = 60, tol: float = 1e-8,
-                       seed: int = 0
+                       seed: int = 0, op_args=()
                        ) -> tuple[np.ndarray, jax.Array, dict]:
     """:func:`eigs_hermitian` with the WHOLE restart cycle as one jit.
 
@@ -150,7 +150,7 @@ def eigs_hermitian_dev(op: Callable, example: jax.Array, n_eigs: int,
     """
     m = m or max(2 * n_eigs + 16, 24)
     k = min(n_eigs + 8, m - 2)
-    rdtype = jnp.zeros((), example.dtype).real.dtype
+    rdtype = np.zeros((), example.dtype).real.dtype  # no eager jnp op
     vshape = example.shape
     desc = which == "largest"
 
@@ -161,13 +161,13 @@ def eigs_hermitian_dev(op: Callable, example: jax.Array, n_eigs: int,
         w = w - jnp.einsum("k,k...->...", c, bb)
         return w, c
 
-    def extend(bb, tt, k0):
+    def extend(bb, tt, k0, args):
         """Grow the basis from rows [0..k0] to [0..m], filling T."""
         idx = jnp.arange(m + 1)
 
         def body(j, carry):
             bb, tt = carry
-            w = op(bb[j])
+            w = op(bb[j], *args)
             w, c = gs_pass(bb, w, j, idx)
             w, _ = gs_pass(bb, w, j, idx)  # second pass
             col = jnp.real(c).astype(tt.dtype)
@@ -209,8 +209,8 @@ def eigs_hermitian_dev(op: Callable, example: jax.Array, n_eigs: int,
                 (jnp.max(res) / scale).astype(jnp.float32))
 
     @partial(jax.jit, static_argnums=(2,))
-    def cycle(bb, tt, k0):
-        bb, tt = extend(bb, tt, k0)
+    def cycle(bb, tt, k0, *args):
+        bb, tt = extend(bb, tt, k0, args)
         return finish(bb, tt)
 
     key = jax.random.PRNGKey(seed)
@@ -232,7 +232,7 @@ def eigs_hermitian_dev(op: Callable, example: jax.Array, n_eigs: int,
     relres = None
     for cycle_i in range(max_restarts):
         k0 = 0 if cycle_i == 0 else k
-        bb, tt, evals, ritz, resmax = cycle(bb, tt, k0)
+        bb, tt, evals, ritz, resmax = cycle(bb, tt, k0, *op_args)
         info["matvecs"] += m - k0
         info["cycles"] = cycle_i + 1
         relres = float(resmax)  # ONE scalar fetch per cycle
