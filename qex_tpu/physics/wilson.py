@@ -214,24 +214,29 @@ def solve_eo(w: WilsonEO, b: jax.Array,
         if jax.default_backend() not in ("cpu",):
             from . import wilson_pallas as wpal
             if wpal.fits(lat):
-                # fused 8-term spin-projected stencil kernel
+                # fused 8-term spin-projected stencil kernel; one
+                # full-Z block where VMEM fits (drops the z-neighbor
+                # streams; exp_wilson2.py A/B 387.7 -> 402.8 GF/s f32)
+                nzb = wpal.pick_nzb_auto(lat)
                 pw = wpal.new_pallas_wilson(fw)
                 op = lambda v: wpal._join(wpal.m_ee_dag_pallas(
-                    pw, wpal.m_ee_pallas(pw, wpal._split(v))))
+                    pw, wpal.m_ee_pallas(pw, wpal._split(v), nzb=nzb),
+                    nzb=nzb))
                 if getattr(params, "sloppy", False):
                     # bf16-link inner iterations + f32 true-residual
                     # restarts (QEX sloppySolve; same recipe as the
-                    # staggered solve_ee).  NOTE measured 0.087 ->
-                    # 0.101 s at 24^3x32 m=0.1: the Wilson kernel is
-                    # VPU-bound (spin algebra), so halving link DMA
-                    # buys nothing and the extra restart iterations
-                    # cost ~16% -- honored as the user's knob, not a
-                    # default.
+                    # staggered solve_ee).  Since z-vectorization +
+                    # full-Z streaming the kernel is DMA-bound, and
+                    # bf16 links win the hop A/B 425-456 vs 388-403
+                    # GF/s (exp_wilson2.py; the earlier VPU-bound
+                    # finding predates the z-vectorized kernel).
+                    nzbb = wpal.pick_nzb_auto(lat, jnp.bfloat16)
                     pwb = wpal.new_pallas_wilson(
                         fw, links_dtype=jnp.bfloat16)
                     op_true, floor = op, 1e-5
                     op = lambda v: wpal._join(wpal.m_ee_dag_pallas(
-                        pwb, wpal.m_ee_pallas(pwb, wpal._split(v))))
+                        pwb, wpal.m_ee_pallas(pwb, wpal._split(v),
+                                              nzb=nzbb), nzb=nzbb))
             else:
                 op = lambda v: wfst.m_ee_dag_fast(fw,
                                                   wfst.m_ee_fast(fw, v))

@@ -20,12 +20,16 @@ permutation p and coefficients c are extracted numerically at trace
 time from gamma_matrices() (asserting the block structure), so the
 kernel can never drift from the reference basis.
 
-Traffic/site f32: 8*72 link + 5*96 streamed spinor + 96 out = 1248 B
+Traffic/site f32: 8*72 link + 5*96 streamed spinor + 96 out = 1152 B
 when z-blocked (nz > 1); one full-Z block (nzb=None) drops the z+-1
-streams -> 1056 B, and bf16 links drop a further 288 B -> 768 B.
-flops/site 1344 -> arithmetic intensity 1.1-1.75 flop/B, higher than
+streams -> 960 B, and bf16 links drop a further 288 B -> 672 B.
+flops/site 1344 -> arithmetic intensity 1.2-2.0 flop/B, higher than
 staggered's 0.7 (the spin algebra is nearly free on the VPU but the
-matvecs double), so the kernel sits at the HBM roofline's edge.
+matvecs double).  Same-process A/B on v5e at 24^3x32 (exp_wilson2.py):
+f32 nzb=8 387.7 -> f32 full-Z 402.8 -> bf16 nzb=8 425.1 -> bf16
+full-Z 455.8 GF/s, the last moving ~90% of the measured stream
+bandwidth -- the kernel is DMA-bound and bf16+full-Z is the
+production configuration where it fits (pick_nzb_auto).
 
 Semantics identical to wilson_fast.hop_fast / m_ee_fast
 (tests/test_wilson_pallas.py, interpret-mode equality on CPU).
@@ -147,6 +151,17 @@ def _pick_nzb(Z: int, nzb: int | None) -> int:
     if nzb is None:
         return Z
     return nzb if Z % nzb == 0 else Z
+
+
+def pick_nzb_auto(lat: Lattice, links_dtype=jnp.float32) -> int | None:
+    """Production z-block choice: one full-Z block (None) when the
+    double-buffered working set fits the VMEM budget -- drops the
+    z-neighbor streams, measured fastest at every fitting volume
+    (module docstring A/B) -- else the default 8-block."""
+    X, Y, Z, T = lat.dims
+    lb = 2 if links_dtype == jnp.bfloat16 else 4
+    blk = (8 * 18 * lb + 4 * 96) * Z * Y * X * 2
+    return None if blk <= 80 * 1024 * 1024 else 8
 
 
 def _wilson_kernel(X: int, parity_out: int, nzb: int, nz: int,

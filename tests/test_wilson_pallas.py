@@ -107,3 +107,12 @@ def test_zblocked_matches_fullz():
         dev = float(jnp.sum(jnp.abs(got - ref) ** 2)
                     / jnp.sum(jnp.abs(ref) ** 2))
         assert dev < 1e-12, nzb
+
+
+def test_pick_nzb_auto():
+    """Full-Z when the double-buffered block fits VMEM, else 8."""
+    assert wp.pick_nzb_auto(Lattice((24, 24, 24, 32))) is None
+    assert wp.pick_nzb_auto(Lattice((24, 24, 24, 32)),
+                            jnp.bfloat16) is None
+    # 64^3 slab: (8*72 + 4*96)*64*4096*2 bytes ~ 0.5 GB >> budget
+    assert wp.pick_nzb_auto(Lattice((64, 64, 64, 64))) == 8
