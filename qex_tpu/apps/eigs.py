@@ -43,6 +43,9 @@ def main(argv=None) -> int:
     save = prm.str_param("save", "", "save eigenpairs to .npz")
     deflate_demo = prm.bool_param("deflate", True,
                                   "demo deflated vs plain CG")
+    refine_iters = prm.int_param("refine", 0,
+                                 "compensated Rayleigh-Ritz polish "
+                                 "iterations after the Lanczos")
     use_cpu = prm.bool_param("cpu", False, "force CPU")
 
     import jax
@@ -83,7 +86,8 @@ def main(argv=None) -> int:
           f"degree={degree} tol={tol:g}")
     t0 = time.perf_counter()
     res = hisqev.stag_eigs(lat, u, nev, bc=bc, naik=naik,
-                           degree=degree, tol=tol, verbose=True)
+                           degree=degree, tol=tol, verbose=True,
+                           refine_iters=refine_iters)
     print(f"# eigensolve: {time.perf_counter() - t0:.2f} s, "
           f"{res.info['matvecs_A']} A-matvecs")
     if mass != 0.0:
@@ -102,16 +106,24 @@ def main(argv=None) -> int:
         from qex_tpu.solvers.deflate import deflated_cg
         m_d = mass if mass != 0.0 else 0.05
         evals, vecs = hisqev.deflation_basis(res, m_d)
-        op, example = hisqev._normal_op(lat, u, bc, naik)
+        op, example, op_args = hisqev._normal_op(lat, u, bc, naik)
         key = jax.random.PRNGKey(seed + 1)
-        b = (jax.random.normal(key, example.shape)
-             + 1j * jax.random.normal(jax.random.fold_in(key, 1),
-                                      example.shape)).astype(dtype)
+
+        @jax.jit
+        def make_b(key):
+            # example may be a ShapeDtypeStruct; draw on device (the
+            # tunnel has no eager dispatch)
+            return (jax.random.normal(key, example.shape)
+                    + 1j * jax.random.normal(jax.random.fold_in(key, 1),
+                                             example.shape)
+                    ).astype(dtype)
+
+        b = make_b(key)
         mm = m_d * m_d
 
         @jax.jit
-        def solves(b):
-            a_op = lambda v: mm * v + op(v)
+        def solves(b, *op_args):
+            a_op = lambda v: mm * v + op(v, *op_args)
             x0, s0 = cgmod.cg_solve_restarted(a_op, b, r2req=1e-10,
                                               maxits=2000, restarts=2)
             x1, s1 = deflated_cg(a_op, b, evals, vecs, r2req=1e-10,
@@ -123,10 +135,16 @@ def main(argv=None) -> int:
                     jnp.real(r0).astype(jnp.float32),
                     jnp.real(r1).astype(jnp.float32))
 
-        i0, i1, r0, r1 = solves(b)
+        i0, i1, r0, r1 = solves(b, *op_args)
+        from qex_tpu.solvers.deflate import deflation_pays
+        # criterion uses the UNSHIFTED lambda band (res.evals is host
+        # numpy; the shifted jnp `evals` would need a device fetch)
+        pays = deflation_pays(res.evals, m_d)
         print(f"DEFLATE m={m_d}: plain CG its={int(float(i0))} "
               f"rel_r2={float(r0):.2e} | deflated({nev}) "
-              f"its={int(float(i1))} rel_r2={float(r1):.2e}")
+              f"its={int(float(i1))} rel_r2={float(r1):.2e} "
+              f"| auto-criterion: {'use' if pays else 'skip'} "
+              f"(stag_solve gates on lambda_low vs m^2)")
     return 0
 
 

@@ -101,7 +101,8 @@ def stag_eigs(lat: Lattice, u: jax.Array, n: int, *, bc: str = "pppa",
               naik: bool = False, degree: int = 24,
               tol: float = 1e-8, m: int | None = None,
               max_restarts: int = 60, seed: int = 0,
-              links=None, verbose: bool = False) -> EigResult:
+              links=None, verbose: bool = False,
+              refine_iters: int = 0) -> EigResult:
     """Lowest-n eigenpairs of the staggered (or fat+naik HISQ) mass-free
     even-odd normal operator on gauge field ``u``.
 
@@ -111,6 +112,14 @@ def stag_eigs(lat: Lattice, u: jax.Array, n: int, *, bc: str = "pppa",
     ``links``: precomputed (fat, long) HISQ links (e.g. from
     gauge.fat7.hisq_links_lowmem at volumes where the fused fattening
     does not fit); ``u`` may then be None.
+
+    ``refine_iters > 0``: follow the Lanczos with that many
+    deflated-inverse-iteration polish passes
+    (eigens.refine.refine_inverse_dev) -- the tiny clustered Dirac
+    low band is exactly the regime where subspace polish stalls and
+    inverse iteration with the band Galerkin-deflated pays (the
+    reference's PRIMME runs in f64, qexPrimme.nim:59; this is the
+    f32-native route to that residual grade).
     """
     op, example, op_args = _normal_op(lat, u, bc, naik, links)
     evals, vecs, info = eigs_filtered(op, example, n, degree=degree,
@@ -118,6 +127,12 @@ def stag_eigs(lat: Lattice, u: jax.Array, n: int, *, bc: str = "pppa",
                                       max_restarts=max_restarts,
                                       seed=seed, op_args=op_args)
     resids = info["true_residuals"]
+    if refine_iters > 0:
+        from .refine import refine_inverse_dev
+        evals, vecs, resids, rinfo = refine_inverse_dev(
+            op, vecs, op_args=op_args, iters=refine_iters)
+        info = dict(info, refine=rinfo,
+                    true_residuals=resids)
     svals = np.sqrt(np.maximum(evals, 0.0))
     if verbose:
         for i, (ev, sv, r) in enumerate(zip(evals, svals, resids)):

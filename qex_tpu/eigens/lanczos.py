@@ -108,6 +108,7 @@ def eigs_hermitian(op: Callable, example: jax.Array, n_eigs: int,
         scale = max(abs(evals[0]), abs(evals[-1]), 1e-30)
         info["cycles"] = cycle + 1
         info["residual"] = float(res.max())
+        info["relative_residual"] = float(res.max() / scale)
         if res.max() <= tol * scale or cycle == max_restarts - 1:
             vb = jnp.stack(basis[:m])
             ritz = jnp.einsum("k...,kn->n...", vb,
@@ -206,7 +207,8 @@ def eigs_hermitian_dev(op: Callable, example: jax.Array, n_eigs: int,
         tt_new = tt_new.at[:k, k].set(coup)
         tt_new = tt_new.at[k, :k].set(coup)
         return (bb_new, tt_new, evals[:n_eigs], ritz,
-                (jnp.max(res) / scale).astype(jnp.float32))
+                (jnp.max(res) / scale).astype(jnp.float32),
+                jnp.max(res).astype(jnp.float32))
 
     @partial(jax.jit, static_argnums=(2,))
     def cycle(bb, tt, k0, *args):
@@ -226,19 +228,25 @@ def eigs_hermitian_dev(op: Callable, example: jax.Array, n_eigs: int,
         tt = jnp.zeros((m + 1, m + 1), rdtype)
         return bb, tt
 
+    if max_restarts < 1:
+        raise ValueError(f"max_restarts must be >= 1, got {max_restarts}")
     bb, tt = init()
     info = {"cycles": 0, "matvecs": 0}
     pick = jax.jit(lambda a, i: a[i])  # real scalar, native dtype
-    relres = None
+    relres = resabs = None
     for cycle_i in range(max_restarts):
         k0 = 0 if cycle_i == 0 else k
-        bb, tt, evals, ritz, resmax = cycle(bb, tt, k0, *op_args)
+        bb, tt, evals, ritz, resmax, resa = cycle(bb, tt, k0, *op_args)
         info["matvecs"] += m - k0
         info["cycles"] = cycle_i + 1
         relres = float(resmax)  # ONE scalar fetch per cycle
         if relres <= tol:
             break
-    info["residual"] = relres
+    resabs = float(resa)  # one extra fetch, after the loop only
+    # same convention as the host path: 'residual' = ABSOLUTE max Ritz
+    # residual bound, 'relative_residual' = scaled by the spectral range
+    info["residual"] = resabs
+    info["relative_residual"] = relres
     info["converged"] = bool(relres <= tol)
     # fetch the n_eigs eigenvalues as individual real scalars (the
     # tunnel cannot transfer arrays); vectors stay on device

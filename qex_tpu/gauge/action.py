@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..lattice import Lattice
-from ..ops import group, linalg
+from ..ops import dsum, group, linalg
 from ..ops.shifts import transport
 
 
@@ -174,6 +174,91 @@ def full_action(c: GaugeActionCoeffs, lat: Lattice, u: jax.Array
                 GaugeActionCoeffs(rect=c.rect, pgm=c.pgm), lat, u)
         return s
     return gauge_action(c, lat, u)
+
+
+# --- compensated (two-float) action values -----------------------------------
+#
+# Measurement-path twins of gauge_action/action_a with every site
+# reduction through ops.dsum pairwise two-float trees, so the O(1e7)
+# Hamiltonian keeps sub-ulp resolution in f32 (the reference holds H in
+# f64, src/hmc/metropolis.nim:6-16).  Never differentiated -- MD forces
+# keep the scalar path.
+
+def gauge_action2(c: GaugeActionCoeffs, lat: Lattice, u: jax.Array
+                  ) -> dsum.Pair:
+    """Two-float ``gauge_action`` (same plane enumeration)."""
+    nd, nc = lat.nd, lat.nc
+    rdt = jnp.real(u).dtype
+    pl = dsum.df_zero(rdt)
+    rt = dsum.df_zero(rdt)
+    pg = dsum.df_zero(rdt)
+    T = [_t(u, mu, nd) for mu in range(nd)]
+    Td = [_td(u, mu, nd) for mu in range(nd)]
+    for mu in range(1, nd):
+        for nu in range(mu):
+            pl = dsum.df_add(pl, dsum.redot2(T[mu](u[nu]), T[nu](u[mu])))
+            if c.rect != 0.0:
+                rt = dsum.df_add(rt, dsum.redot2(T[mu](T[nu](u[nu])),
+                                                 T[nu](T[nu](u[mu]))))
+                rt = dsum.df_add(rt, dsum.redot2(T[mu](T[mu](u[nu])),
+                                                 T[nu](T[mu](u[mu]))))
+            if c.pgm != 0.0:
+                for sg in range(nu):
+                    for a, b in (
+                            (T[mu](T[nu](u[sg])), T[sg](T[nu](u[mu]))),
+                            (T[mu](T[sg](u[nu])), T[nu](T[sg](u[mu]))),
+                            (T[nu](T[mu](u[sg])), T[sg](T[mu](u[nu]))),
+                            (T[nu](T[sg](u[mu])), T[mu](T[sg](u[nu]))),
+                            (T[sg](T[mu](u[nu])), T[nu](T[mu](u[sg]))),
+                            (T[sg](T[nu](u[mu])), T[mu](T[nu](u[sg]))),
+                            (T[mu](Td[nu](u[sg])), T[sg](Td[nu](u[mu]))),
+                            (T[mu](Td[sg](u[nu])), T[nu](Td[sg](u[mu])))):
+                        pg = dsum.df_add(pg, dsum.redot2(a, b))
+    s = dsum.df_scale(pl, -c.plaq / nc)
+    if c.rect != 0.0:
+        s = dsum.df_add(s, dsum.df_scale(rt, -c.rect / nc))
+    if c.pgm != 0.0:
+        s = dsum.df_add(s, dsum.df_scale(pg, -c.pgm / nc))
+    return s
+
+
+def action_a2(c: GaugeActionCoeffs, lat: Lattice, u: jax.Array
+              ) -> dsum.Pair:
+    """Two-float ``action_a`` (plaquette + adjoint plaquette)."""
+    nd, nc = lat.nd, lat.nc
+    rdt = jnp.real(u).dtype
+    pl = dsum.df_zero(rdt)
+    ad = dsum.df_zero(rdt)
+    T = [_t(u, mu, nd) for mu in range(nd)]
+    for mu in range(1, nd):
+        for nu in range(mu):
+            a = T[mu](u[nu])
+            b = T[nu](u[mu])
+            trp = linalg.trace(linalg.mul_an(a, b))
+            pl = dsum.df_add(pl, dsum.sum2(jnp.real(trp)))
+            ad = dsum.df_add(ad, dsum.sum2(
+                jnp.real(trp) ** 2 + jnp.imag(trp) ** 2))
+    a0 = 0.5 * nd * (nd - 1) * lat.volume
+    s = dsum.df_scale(dsum.df_add(dsum.df_const(a0, rdt),
+                                  dsum.df_scale(pl, -1.0 / nc)),
+                      c.plaq)
+    return dsum.df_add(s, dsum.df_scale(
+        dsum.df_add(dsum.df_const(a0, rdt),
+                    dsum.df_scale(ad, -1.0 / (nc * nc))),
+        c.adjplaq))
+
+
+def full_action2(c: GaugeActionCoeffs, lat: Lattice, u: jax.Array
+                 ) -> dsum.Pair:
+    """Two-float ``full_action`` (same dispatch)."""
+    if c.adjplaq != 0.0:
+        s = action_a2(GaugeActionCoeffs(plaq=c.plaq, adjplaq=c.adjplaq),
+                      lat, u)
+        if c.rect != 0.0 or c.pgm != 0.0:
+            s = dsum.df_add(s, gauge_action2(
+                GaugeActionCoeffs(rect=c.rect, pgm=c.pgm), lat, u))
+        return s
+    return gauge_action2(c, lat, u)
 
 
 # --- hand-structured staple force (plaq + adjplaq) ---------------------------

@@ -42,11 +42,20 @@ def kinetic_energy(p: jax.Array) -> jax.Array:
     return 0.5 * linalg.norm2(p)
 
 
+def kinetic_energy2(p: jax.Array):
+    """Two-float kinetic energy (hi, lo): compensated |p|^2 reduction
+    for exact Metropolis at volume in f32 (ops.dsum; the reference
+    accumulates H in f64, src/hmc/metropolis.nim:6-16)."""
+    from ..ops import dsum
+    return dsum.df_scale(dsum.norm22(p), 0.5)
+
+
 def hmc_step(key: jax.Array, u: jax.Array,
              action_fn: Callable[[jax.Array], jax.Array],
              force_fn: Callable[[jax.Array], jax.Array],
              scheme: Integrator, tau: float, nsteps: int,
              always_accept: bool | jax.Array = False,
+             action2_fn: Callable | None = None,
              ) -> tuple[jax.Array, HMCState]:
     """One HMC trajectory: refresh p, integrate, Metropolis.
 
@@ -54,17 +63,31 @@ def hmc_step(key: jax.Array, u: jax.Array,
     ``no_metropolis_until`` behavior, staghmc_spv.nim); it may be a
     traced boolean so one compiled step covers warmup and production.
     jit-safe with static (scheme, tau, nsteps, action_fn, force_fn).
+
+    ``action2_fn``: optional two-float action (e.g.
+    gauge.action.full_action2) -> the Hamiltonian is carried as an
+    (hi, lo) pair and dH keeps sub-ulp resolution at volume in f32
+    (the f64-Metropolis role of the reference, metropolis.nim:6-16).
     """
+    from ..ops import dsum
     nd, nc = u.shape[0], u.shape[1]
     kp, ka = jax.random.split(key)
     p = jax.vmap(lambda k: group.random_tah(
         k, u.shape[3:], nc, u.dtype))(jax.random.split(kp, nd))
 
-    h_old = kinetic_energy(p) + action_fn(u)
     u_new, p_new = integrate(scheme, u, p, tau, nsteps, force_fn,
                              gauge_update_u)
-    h_new = kinetic_energy(p_new) + action_fn(u_new)
-    dH = h_new - h_old
+    if action2_fn is not None:
+        h_old2 = dsum.df_add(kinetic_energy2(p), action2_fn(u))
+        h_new2 = dsum.df_add(kinetic_energy2(p_new),
+                             action2_fn(u_new))
+        dH = dsum.df_value(dsum.df_sub(h_new2, h_old2))
+        h_old = dsum.df_value(h_old2)
+        h_new = dsum.df_value(h_new2)
+    else:
+        h_old = kinetic_energy(p) + action_fn(u)
+        h_new = kinetic_energy(p_new) + action_fn(u_new)
+        dH = h_new - h_old
 
     r = jax.random.uniform(ka, (), jnp.float32)
     acc = jnp.logical_or(jnp.asarray(always_accept), jnp.log(r) < -dH)

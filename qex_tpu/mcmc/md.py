@@ -59,6 +59,10 @@ class ActionTerm:
     heatbath: Callable[[jax.Array, jax.Array], Any] | None = None
     smeared: bool = False
     chain_force: Callable[[jax.Array, Any], jax.Array] | None = None
+    # two-float measurement twin: action2(u, phi) -> (hi, lo) pair
+    # (ops.dsum) for exact-Metropolis Hamiltonians at volume in f32;
+    # None falls back to (action(u, phi), 0).
+    action2: Callable[[jax.Array, Any], Any] | None = None
 
     def get_scheme(self) -> Integrator:
         s = self.scheme
@@ -66,6 +70,13 @@ class ActionTerm:
 
 
 _EPS = 1e-9
+
+# Site count above which the nHYP forward stages run as per-output
+# slab-list jits instead of whole-level programs (whole-level forwards
+# peak 6.1/9.8/6.3 GB at 24^4 c64 -- the north-star 32^3x64 cannot
+# hold level 2; exp_nhyp_mem.py).  Tests monkeypatch this down to
+# exercise the split path on small CPU lattices.
+FWD_SPLIT_MIN_SITES = 1_000_000
 
 
 def build_schedule(terms: Sequence[ActionTerm], tau: float):
@@ -522,6 +533,58 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
         pb2 = _pb_terms(p2, 12, t2s, g_list=True)
         pb1 = _pb_terms(p1, 12, t1s, u_only=True, g_list=True)
         terms_mode = True
+
+        # Slab-list FORWARDS for huge volumes: the whole-level forward
+        # jits peak 6.1/9.8/6.3 GB at 24^4 c64 (exp_nhyp_mem.py) --
+        # at the north-star 32^3x64 (6.3x sites) level 2 alone would
+        # exceed the chip.  One output per jit program (same donated
+        # slab-list discipline as the pullback), stacked by a single
+        # donated jit; gated on volume so smaller runs keep the 3-
+        # program compile count.
+        _fwd_cache: dict = {}
+
+        def _fwd_piece(level, o):
+            if (level, o) in _fwd_cache:
+                return _fwd_cache[(level, o)]
+            tl = (t1s, t2s, t3s)[level][o]
+            if level == 0:
+                @jax.jit
+                def f(u):
+                    acc = None
+                    for t in tl:
+                        us = tuple(u[i] for i in t.u_idx)
+                        x = t.fn(us, ())
+                        acc = x if acc is None else \
+                            jax.lax.optimization_barrier(acc + x)
+                    return proj(acc)
+            else:
+                @jax.jit
+                def f(u, a):
+                    acc = None
+                    for t in tl:
+                        us = tuple(u[i] for i in t.u_idx)
+                        als = tuple(a[i] for i in t.a_idx)
+                        x = t.fn(us, als)
+                        acc = x if acc is None else \
+                            jax.lax.optimization_barrier(acc + x)
+                    return proj(acc)
+            _fwd_cache[(level, o)] = f
+            return f
+
+        _stack_jits: dict = {}
+
+        def _stack_slabs(slabs):
+            n = len(slabs)
+            if n not in _stack_jits:
+                _stack_jits[n] = jax.jit(
+                    lambda *xs: jnp.stack(xs),
+                    donate_argnums=tuple(range(n)))
+            return _stack_jits[n](*slabs)
+
+        def _fwd_split(u):
+            import numpy as _np
+            return (int(_np.prod(u.shape[3:]))
+                    >= FWD_SPLIT_MIN_SITES)
     elif split_proj:
         pb3 = _pb_split(p3, 4, 4)
         pb2 = _pb_split(p2, 12, 12)
@@ -534,6 +597,27 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
         def pb1(u, g):
             _, vjp = jax.vjp(s1, u)
             return vjp(g)[0]  # gu1
+
+    if terms_mode:
+        _j1, _j2, _j3 = j1, j2, j3
+
+        def j1(u):
+            if not _fwd_split(u):
+                return _j1(u)
+            return _stack_slabs([_fwd_piece(0, o)(u)
+                                 for o in range(len(t1s))])
+
+        def j2(u, a1):
+            if not _fwd_split(u):
+                return _j2(u, a1)
+            return _stack_slabs([_fwd_piece(1, o)(u, a1)
+                                 for o in range(len(t2s))])
+
+        def j3(u, a2):
+            if not _fwd_split(u):
+                return _j3(u, a2)
+            return _stack_slabs([_fwd_piece(2, o)(u, a2)
+                                 for o in range(len(t3s))])
 
     def smear(u):
         return j3(u, j2(u, j1(u)))

@@ -22,13 +22,13 @@ import jax
 import jax.numpy as jnp
 
 from ..gauge.action import (GaugeActionCoeffs, force_from_action,
-                            full_action)
+                            full_action, full_action2)
 from ..gauge.smear import (HypCoefs, StoutCoefs, nhyp_smear,
                            nhyp_stages, nhyp_stage_terms,
                            nhyp_stages_preproj, stout_smear)
 from ..hmc import hmc as hmc_mod
 from ..lattice import Lattice
-from ..ops import group
+from ..ops import dsum, group
 from ..physics import stag_hmc
 from ..solvers.base import SolverParams
 from .md import ActionTerm, run_trajectory, run_trajectory_split
@@ -127,12 +127,17 @@ class LatticeFieldTheory:
                 from ..gauge.action import gauge_grad
                 return gauge_grad(gc, lat, v)
 
+            def g_action2(u, _phi, gc=gc, smeared=smeared):
+                v = self._smear(u) if smeared else u
+                return full_action2(gc, lat, v)
+
             name = "smeared_gauge" if smeared else "gauge"
             terms.append(ActionTerm(f"{name}{gi}", g_action, g_force,
                                     gspec.steps, gspec.scheme,
                                     smeared=smeared,
                                     chain_force=g_chain if smeared
-                                    else None))
+                                    else None,
+                                    action2=g_action2))
 
         for i, spec in enumerate(self.fermions):
             fp = self.force_solver_params
@@ -209,11 +214,20 @@ class LatticeFieldTheory:
             v = self._smear(u) if smeared else u
             return base.heatbath(key, v)
 
+        f_action2 = None
+        if hasattr(base, "make_action2_fn"):
+            s_act2 = base.make_action2_fn()
+
+            def f_action2(u, phi, s_act2=s_act2, smeared=smeared):
+                v = self._smear(u) if smeared else u
+                return s_act2(v, phi)
+
         terms.append(ActionTerm(name, f_action, f_force, spec.steps,
                                 spec.scheme, heatbath=f_heat,
                                 smeared=smeared,
                                 chain_force=f_chain if smeared
-                                else None))
+                                else None,
+                                action2=f_action2))
 
     # -- HMC ---------------------------------------------------------------
     def heatbath(self, key: jax.Array, u: jax.Array) -> list[Any]:
@@ -231,6 +245,22 @@ class LatticeFieldTheory:
             h = h + term.action(u, phi)
         return h
 
+    def hamiltonian2(self, u: jax.Array, p: jax.Array,
+                     phis: Sequence[Any]):
+        """Two-float Hamiltonian (hi, lo): every site reduction
+        compensated (ops.dsum), so Metropolis dH keeps sub-ulp
+        resolution at volume in f32 (the reference carries H in f64,
+        src/hmc/metropolis.nim:6-16).  Terms without an action2 twin
+        fall back to their scalar action (lo = 0)."""
+        h = hmc_mod.kinetic_energy2(p)
+        for term, phi in zip(self.terms, phis):
+            if term.action2 is not None:
+                h = dsum.df_add(h, term.action2(u, phi))
+            else:
+                a = term.action(u, phi)
+                h = dsum.df_add(h, (a, jnp.zeros_like(a)))
+        return h
+
     def hmc_step(self, key: jax.Array, u: jax.Array, nsteps_scale: int = 1,
                  always_accept: bool | jax.Array = False):
         """One full trajectory: momenta + pseudofermion heatbath, MD,
@@ -246,20 +276,23 @@ class LatticeFieldTheory:
         p = jax.vmap(lambda k: group.random_tah(
             k, u.shape[3:], nc, u.dtype))(jax.random.split(kp, nd))
         phis = self.heatbath(kf, u)
-        h_old = self.hamiltonian(u, p, phis)
+        h_old2 = self.hamiltonian2(u, p, phis)
         transform = (self._smear
                      if any(t.smeared for t in self.terms) else None)
         u1, p1 = run_trajectory(self.terms, u, p, phis, self.tau,
                                 hmc_mod.gauge_update_u,
                                 transform=transform)
-        h_new = self.hamiltonian(u1, p1, phis)
-        dH = h_new - h_old
+        h_new2 = self.hamiltonian2(u1, p1, phis)
+        # dH from the two-float pairs: the hi difference is exact
+        # (Sterbenz), the lo difference restores sub-ulp resolution
+        dH = dsum.df_value(dsum.df_sub(h_new2, h_old2))
         r = jax.random.uniform(ka, (), jnp.float32)
         acc = jnp.logical_or(jnp.asarray(always_accept),
                              jnp.log(r) < -dH)
         u_out = jnp.where(acc, u1, u)
         return u_out, hmc_mod.HMCState(accepted=acc, dH=dH,
-                                       h_old=h_old, h_new=h_new)
+                                       h_old=dsum.df_value(h_old2),
+                                       h_new=dsum.df_value(h_new2))
 
     def reverse_check(self, key: jax.Array, u: jax.Array) -> dict:
         """Reversibility test over the FULL multi-timescale trajectory:
@@ -278,17 +311,19 @@ class LatticeFieldTheory:
         phis = self.heatbath(kf, u)
         transform = (self._smear
                      if any(t.smeared for t in self.terms) else None)
-        h0 = self.hamiltonian(u, p, phis)
+        h0 = self.hamiltonian2(u, p, phis)
         u1, p1 = run_trajectory(self.terms, u, p, phis, self.tau,
                                 hmc_mod.gauge_update_u,
                                 transform=transform)
-        h1 = self.hamiltonian(u1, p1, phis)
+        h1 = self.hamiltonian2(u1, p1, phis)
         u2, p2 = run_trajectory(self.terms, u1, -p1, phis, self.tau,
                                 hmc_mod.gauge_update_u,
                                 transform=transform)
-        h2 = self.hamiltonian(u2, p2, phis)
-        return {"h0": h0, "h1": h1, "h2": h2,
-                "dH_fwd": h1 - h0, "dH_rev": h2 - h0,
+        h2 = self.hamiltonian2(u2, p2, phis)
+        return {"h0": dsum.df_value(h0), "h1": dsum.df_value(h1),
+                "h2": dsum.df_value(h2),
+                "dH_fwd": dsum.df_value(dsum.df_sub(h1, h0)),
+                "dH_rev": dsum.df_value(dsum.df_sub(h2, h0)),
                 "u_dev2": linalg.norm2(u2 - u) / linalg.norm2(u),
                 "p_dev2": linalg.norm2(p2 + p) / linalg.norm2(p)}
 
@@ -331,9 +366,9 @@ class LatticeFieldTheory:
             p = jax.vmap(lambda k: group.random_tah(
                 k, u.shape[3:], nc, u.dtype))(jax.random.split(kp, nd))
             phis = self.heatbath(kf, u)
-            return p, phis, self.hamiltonian(u, p, phis)
+            return p, phis, self.hamiltonian2(u, p, phis)
 
-        ham = jax.jit(self.hamiltonian)
+        ham = jax.jit(self.hamiltonian2)
         p, phis, h0 = begin(key, u)
         u1, p1 = run_trajectory_split(self.terms, u, p, phis, self.tau,
                                       hmc_mod.gauge_update_u,
@@ -352,9 +387,17 @@ class LatticeFieldTheory:
             return (linalg.norm2(u2 - u) / linalg.norm2(u),
                     linalg.norm2(p2 + p) / linalg.norm2(p))
 
+        @jax.jit
+        def finals(h0, h1, h2):
+            return (dsum.df_value(h0), dsum.df_value(h1),
+                    dsum.df_value(h2),
+                    dsum.df_value(dsum.df_sub(h1, h0)),
+                    dsum.df_value(dsum.df_sub(h2, h0)))
+
         ud, pd = devs(u2, u, p2, p)
-        return {"h0": h0, "h1": h1, "h2": h2, "dH_fwd": h1 - h0,
-                "dH_rev": h2 - h0, "u_dev2": ud, "p_dev2": pd}
+        v0, v1, v2, dfw, drv = finals(h0, h1, h2)
+        return {"h0": v0, "h1": v1, "h2": v2, "dH_fwd": dfw,
+                "dH_rev": drv, "u_dev2": ud, "p_dev2": pd}
 
     def hmc_step_split(self, key: jax.Array, u: jax.Array,
                        always_accept: bool | jax.Array = False,
@@ -385,17 +428,18 @@ class LatticeFieldTheory:
             p = jax.vmap(lambda k: group.random_tah(
                 k, u.shape[3:], nc, u.dtype))(jax.random.split(kp, nd))
             phis = self.heatbath(kf, u)
-            return p, phis, self.hamiltonian(u, p, phis), ka
+            return p, phis, self.hamiltonian2(u, p, phis), ka
 
         @jax.jit
-        def finish(u, u1, p1, phis, h_old, ka, warm):
-            h_new = self.hamiltonian(u1, p1, phis)
-            dH = h_new - h_old
+        def finish(u, u1, p1, phis, h_old2, ka, warm):
+            h_new2 = self.hamiltonian2(u1, p1, phis)
+            dH = dsum.df_value(dsum.df_sub(h_new2, h_old2))
             r = jax.random.uniform(ka, (), jnp.float32)
             acc = jnp.logical_or(jnp.asarray(warm), jnp.log(r) < -dH)
             u_out = jnp.where(acc, u1, u)
-            return u_out, hmc_mod.HMCState(accepted=acc, dH=dH,
-                                           h_old=h_old, h_new=h_new)
+            return u_out, hmc_mod.HMCState(
+                accepted=acc, dH=dH, h_old=dsum.df_value(h_old2),
+                h_new=dsum.df_value(h_new2))
 
         import contextlib
 

@@ -147,7 +147,8 @@ def mg_solve_kcycle(lat: Lattice, op: Callable, b: jax.Array, *,
                     chiral: bool = True, r2req: float = 1e-10,
                     m: int = 16, max_restarts: int = 50, seed: int = 0,
                     hierarchy: MGHierarchy | None = None,
-                    relax_iters: int = 30):
+                    relax_iters: int = 30, smooth_iters: int = 2,
+                    k_m: int = 4, bottom_iters: int = 16):
     """K-cycle preconditioned GCR solve of op x = b (multi-level
     production path; the two-grid mg_solve remains the reference
     prototype parity)."""
@@ -157,7 +158,8 @@ def mg_solve_kcycle(lat: Lattice, op: Callable, b: jax.Array, *,
                                  bs=bs, chiral=chiral, ns=b.shape[0],
                                  seed=seed, dtype=b.dtype,
                                  relax_iters=relax_iters)
-    precon = k_cycle(hierarchy)
+    precon = k_cycle(hierarchy, smooth_iters=smooth_iters, k_m=k_m,
+                     bottom_iters=bottom_iters)
     x, stats = gcr_solve(op, b, precon=precon, r2req=r2req, m=m,
                          max_restarts=max_restarts)
     return x, stats, hierarchy

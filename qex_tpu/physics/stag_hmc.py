@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..lattice import Lattice
-from ..ops import eo, linalg
+from ..ops import dsum, eo, linalg
 from ..solvers.base import SolverParams
 from . import stag_solve, staggered as st
 
@@ -125,6 +125,35 @@ def make_quad_action(lat: Lattice, bc: str, m: float) -> Callable:
     return s_act
 
 
+# --- compensated (two-float) action values -----------------------------------
+#
+# Measurement-path twins with the final site reduction through
+# ops.dsum two-float trees (Hamiltonian exactness at volume in f32;
+# the reference holds H in f64, src/hmc/metropolis.nim:6-16).  Same
+# solves at the same tolerances; never differentiated, so no
+# custom_vjp plumbing.
+
+def make_quad_inv_action2(lat: Lattice, bc: str, m: float,
+                          params: SolverParams) -> Callable:
+    """Two-float S = Re[phi^dag A^{-1} phi] -> (hi, lo)."""
+
+    def s_act2(u, phi):
+        s = st.new_stag_eo(lat, u, bc)
+        x, _ = stag_solve.solve_ee(s, phi, m, params)
+        return dsum.redot2(phi, x)
+
+    return s_act2
+
+
+def make_quad_action2(lat: Lattice, bc: str, m: float) -> Callable:
+    """Two-float S = Re[phi^dag A phi] -> (hi, lo)."""
+
+    def s_act2(u, phi):
+        return dsum.redot2(phi, _a_apply(lat, bc, u, phi, m))
+
+    return s_act2
+
+
 @dataclasses.dataclass(frozen=True)
 class StagFermion:
     """Staggered pseudofermion action term S = phi^dag A(m)^{-1} phi.
@@ -149,6 +178,10 @@ class StagFermion:
     def make_action_fn(self) -> Callable:
         return make_quad_inv_action(self.lat, self.bc, self.m,
                                     self.params, self.force_params)
+
+    def make_action2_fn(self) -> Callable:
+        return make_quad_inv_action2(self.lat, self.bc, self.m,
+                                     self.params)
 
     def check_solve(self, u: jax.Array, phi: jax.Array):
         """Re-solve at the action tolerance and report
@@ -183,6 +216,9 @@ class StagBoson:
 
     def make_action_fn(self) -> Callable:
         return make_quad_action(self.lat, self.bc, self.m)
+
+    def make_action2_fn(self) -> Callable:
+        return make_quad_action2(self.lat, self.bc, self.m)
 
 
 def _fast3_ops(f3, mesh=None):
@@ -340,6 +376,12 @@ class HisqFermion:
         s_act.defvjp(fwd, bwd)
         return s_act
 
+    def make_action2_fn(self) -> Callable:
+        def s_act2(u, phi):
+            return dsum.redot2(phi, self.solve_ee(u, phi, self.params))
+
+        return s_act2
+
     def action(self, u, phi):
         return self.make_action_fn()(u, phi)
 
@@ -426,6 +468,17 @@ class StagHasenbusch:
 
         return s_act
 
+    def make_action2_fn(self) -> Callable:
+        quad2 = make_quad_inv_action2(self.lat, self.bc, self.m1,
+                                      self.params)
+        delta = self.m2 * self.m2 - self.m1 * self.m1
+
+        def s_act2(u, phi):
+            return dsum.df_add(dsum.norm22(phi),
+                               dsum.df_scale(quad2(u, phi), delta))
+
+        return s_act2
+
     def action(self, u: jax.Array, phi: jax.Array) -> jax.Array:
         return self.make_action_fn()(u, phi)
 
@@ -482,6 +535,16 @@ class HisqHasenbusch:
             return jnp.real(linalg.dot(phi, phi)) + delta * quad(u, phi)
 
         return s_act
+
+    def make_action2_fn(self) -> Callable:
+        quad2 = self._ferm(self.m1).make_action2_fn()
+        delta = self.m2 * self.m2 - self.m1 * self.m1
+
+        def s_act2(u, phi):
+            return dsum.df_add(dsum.norm22(phi),
+                               dsum.df_scale(quad2(u, phi), delta))
+
+        return s_act2
 
     def action(self, u: jax.Array, phi: jax.Array) -> jax.Array:
         return self.make_action_fn()(u, phi)
@@ -641,6 +704,18 @@ class StagRootedFermion:
 
         s_act.defvjp(fwd, bwd)
         return s_act
+
+    def make_action2_fn(self) -> Callable:
+        ra = self._approx(-self.nf, 4)
+
+        def s_act2(u, phi):
+            xs = self._xs(u, phi, ra)
+            s = dsum.df_scale(dsum.norm22(phi), ra.c0)
+            for r, x in zip(ra.residues, xs):
+                s = dsum.df_add(s, dsum.df_scale(dsum.redot2(phi, x), r))
+            return s
+
+        return s_act2
 
     def action(self, u: jax.Array, phi: jax.Array) -> jax.Array:
         return self.make_action_fn()(u, phi)

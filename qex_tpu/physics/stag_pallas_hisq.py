@@ -145,12 +145,19 @@ def _pick_nzb(Z: int, nzb: int | None, YX: int = 0,
             nzb = Z
         else:
             # largest divisor of Z (>= 3, for the z+-3 planes) whose
-            # double-buffered block fits the budget; Z itself as a
-            # last resort (never exceeds what full-Z would have used)
+            # double-buffered block fits the budget; when NO divisor
+            # fits, the smallest legal divisor minimizes the VMEM
+            # overflow (full-Z is by construction the already-oversized
+            # configuration — picking it back would guarantee the
+            # overflow the auto mode is trying to avoid)
             cands = [d for d in range(3, Z) if Z % d == 0
                      and blk_bytes_per_site * d * YX * 2
                      <= 80 * 1024 * 1024]
-            nzb = max(cands) if cands else Z
+            if cands:
+                nzb = max(cands)
+            else:
+                small = [d for d in range(3, Z) if Z % d == 0]
+                nzb = min(small) if small else Z
     if Z % nzb == 0 and nzb >= 3:
         return nzb
     return Z  # single full-Z block (wrap via the periodic index maps)

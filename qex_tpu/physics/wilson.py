@@ -121,12 +121,43 @@ def solve(w: WilsonD, b: jax.Array,
     """Solve D x = b by CGNE: (D^dag D) x = D^dag b.
 
     QEX parity: wilsonSolve.nim:1-160 (CG on the normal op).
+    ``params.backend == "mg"`` routes to the K-cycle-multigrid
+    preconditioned GCR instead (QEX SolverParams.backend,
+    solverBase.nim:14,50-53 -> mg/wilsonmg.nim:58-104).
     """
+    if params.backend == "mg":
+        x, stats, _ = solve_mg(w, b, params)
+        return x, stats
     rhs = wilson_d_dag(w, b)
     op = partial(wilson_ddagd, w)
     return cg.cg_solve_restarted(op, rhs, r2req=params.r2req,
                                  maxits=params.maxits,
                                  restarts=params.restarts)
+
+
+def solve_mg(w: WilsonD, b: jax.Array,
+             params: SolverParams = SolverParams(),
+             hierarchy=None):
+    """Solve D x = b by K-cycle-multigrid-preconditioned GCR on D
+    itself (no normal operator): the ``backend="mg"`` solve route.
+
+    Returns (x, stats, hierarchy); pass ``hierarchy`` back in to reuse
+    the adaptive setup across solves on the same gauge field (the
+    reference rebuilds per solve in its prototype,
+    mg/wilsonmg.nim:58-104 -- reuse is the production pattern).
+    ``params.mg`` (solvers.base.MGParams) sets the cycle shape.
+    """
+    from ..mg.kcycle import mg_solve_kcycle
+    from ..solvers.base import MGParams
+    mp = params.mg if params.mg is not None else MGParams()
+    op = partial(wilson_d, w)
+    return mg_solve_kcycle(
+        w.lat, op, b, nlevels=mp.nlevels, nvec=mp.nvec, bs=mp.bs,
+        chiral=mp.chiral, r2req=params.r2req, m=mp.m,
+        max_restarts=max(1, params.maxits // mp.m), seed=mp.seed,
+        hierarchy=hierarchy, relax_iters=mp.relax_iters,
+        smooth_iters=mp.smooth_iters, k_m=mp.k_m,
+        bottom_iters=mp.bottom_iters)
 
 
 # --- even-odd preconditioning (QEX wilsonD2ee, wilsonD.nim:212) -------------
@@ -197,9 +228,17 @@ def solve_eo(w: WilsonEO, b: jax.Array,
     M x_e = b_e + H_eo b_o / a on even sites, then
     x_o = (b_o + H_oe x_e) / a.  Halves the Krylov-space cost of the
     full-lattice CGNE (QEX wilsonSolve eo path).
+
+    ``params.backend == "mg"``: dispatch to the K-cycle multigrid on
+    the full (unreduced) operator -- the MG hierarchy is built on D,
+    not the Schur complement (solverBase.nim backend switch).
     """
     from ..ops import eo as eomod
     lat = w.lat
+    if params.backend == "mg":
+        g = eomod.unpack(w.g_e, w.g_o, lat.nd)
+        x, stats, _ = solve_mg(WilsonD(lat, g, w.m), b, params)
+        return x, stats
     b_e, b_o = eomod.pack(b, lat.nd)
     if lat.nd == 4:
         # lane-packed half-spinor operator brackets the Krylov solve

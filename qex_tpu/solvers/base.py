@@ -17,6 +17,25 @@ import jax.numpy as jnp
 
 
 @dataclasses.dataclass(frozen=True)
+class MGParams:
+    """Multigrid-preconditioner configuration (hashable) for the
+    ``backend="mg"`` solve route (QEX SolverParams.backend,
+    solverBase.nim:14,50-53; MG prototype mg/wilsonmg.nim:58-104).
+    Consumed by qex_tpu.mg.kcycle via physics.wilson.solve_mg."""
+
+    nlevels: int = 2
+    nvec: int = 8          # near-null vectors per coarsening
+    bs: int = 2            # geometric block size
+    chiral: bool = True    # gamma5-chirality-split prolongator
+    relax_iters: int = 30  # adaptive-setup relaxation sweeps
+    m: int = 16            # outer GCR restart length
+    smooth_iters: int = 2
+    k_m: int = 4           # K-cycle coarse GCR iterations
+    bottom_iters: int = 16
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
 class SolverParams:
     """Static solve configuration (hashable: safe as a jit static arg).
 
@@ -38,6 +57,12 @@ class SolverParams:
     # QEX analog is the per-solve backend switch
     # (solverBase.nim:6,50-52).  Hashable, so still jit-static.
     mesh: object | None = None
+    # Solve-backend switch (QEX SolverParams.backend,
+    # solverBase.nim:14,50-53): "cg" = CGNE/eo-CG Krylov path;
+    # "mg" = K-cycle-multigrid-preconditioned GCR on D itself
+    # (Wilson only; physics.wilson.solve/solve_eo dispatch on this).
+    backend: str = "cg"
+    mg: MGParams | None = None
 
 
 @jax.tree_util.register_pytree_node_class

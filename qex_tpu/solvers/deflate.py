@@ -58,3 +58,41 @@ def deflated_cg(op: Callable[[jax.Array], jax.Array], b: jax.Array,
     x = x0 + z
     # one final low-mode correction for rounding drift of the CG part
     return x + galerkin(b - op(x)), stats
+
+
+def deflation_pays(evals, m: float, margin: float = 1.0) -> bool:
+    """Automatic use/don't-use criterion for deflating the shifted
+    solve A + m^2 (the staggered/HISQ mass term).
+
+    Deflation helps only when the deflated modes actually dominate the
+    low end of the SHIFTED spectrum, i.e. lambda_low + m^2 is
+    meaningfully smaller than the undeflated condition floor:
+    measured on-chip at 24^3x48 (ROUND3.md), deflating at
+    lambda_low ~ 1.6e-7 << m^2 = 2.5e-3 made the solve ~2x SLOWER
+    (Galerkin projections with f32-grade vectors actively hurt).
+    Criterion: pay only when the mass term does NOT already dominate
+    the deflated band, i.e. max(deflated evals) >= margin * m^2.
+
+    Host-side (called with the numpy evals the eigensolver returns) --
+    keep it out of jit."""
+    import numpy as np
+    ev = np.asarray(evals, dtype=np.float64)
+    if ev.size == 0:
+        return False
+    return bool(np.max(ev) >= margin * float(m) * float(m))
+
+
+def auto_deflated_cg(op: Callable[[jax.Array], jax.Array],
+                     b: jax.Array, evals, vecs, m: float, *,
+                     r2req: float = 1e-12, maxits: int = 1000,
+                     restarts: int = 2):
+    """``deflated_cg`` gated by :func:`deflation_pays`: falls back to
+    plain restarted CG when the mass term dominates the deflated band
+    (the measured-loss regime).  Returns (x, stats, used_deflation)."""
+    if deflation_pays(evals, m):
+        x, stats = deflated_cg(op, b, evals, vecs, r2req=r2req,
+                               maxits=maxits, restarts=restarts)
+        return x, stats, True
+    x, stats = cg.cg_solve_restarted(op, b, r2req=r2req, maxits=maxits,
+                                     restarts=restarts)
+    return x, stats, False

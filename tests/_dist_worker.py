@@ -98,4 +98,30 @@ dev = float(jax.jit(lambda a, b: linalg.norm2(a - b)
 assert dev < 1e-28, dev
 print(f"dist worker {PID}/{NPROC} stencil ok: dev={dev:.3e}", flush=True)
 
+# cooperative single-file SciDAC IO (io/pario.py): 2 processes write
+# ONE LIME file byte-identical to the single-process save_gauge, then
+# read it back sharded with distributed checksum verification
+# (reference src/io/parallelIo.nim:1-555)
+from qex_tpu.io import lime, pario  # noqa: E402
+
+u_np = np.asarray(u)  # (nd, nc, nc, *dims) complex128, same everywhere
+lmio = dist.global_mesh(lat)
+g_par = dist.make_global_field(lmio, lambda i: u_np[i], 3, u_np.shape,
+                               np.complex128)
+f_par = os.path.join(TMP, "par.lime")
+pario.save_gauge_parallel(f_par, lat, g_par, precision="D")
+multihost_utils.sync_global_devices("pario_saved")
+if PID == 0:
+    f_ser = os.path.join(TMP, "ser.lime")
+    lime.save_gauge(f_ser, lat, u_np, precision="D")
+    b_par = open(f_par, "rb").read()
+    b_ser = open(f_ser, "rb").read()
+    assert b_par == b_ser, (len(b_par), len(b_ser))
+multihost_utils.sync_global_devices("pario_compared")
+g_rt = pario.load_gauge_parallel(f_par, lat, lmio, dtype=np.complex128)
+io_diff = float(norm2_sharded(lmio, jax.jit(lambda a, b: a - b)(
+    g_rt, g_par)))
+assert io_diff == 0.0, io_diff
+print(f"dist worker {PID}/{NPROC} pario ok", flush=True)
+
 print(f"dist worker {PID}/{NPROC} ok: norm2={got:.6e}", flush=True)

@@ -227,3 +227,33 @@ def test_device_path_matches_host():
     e2, _, _ = eigs_filtered(op, ex, 4, degree=10, m=30, tol=1e-10,
                              device=True)
     assert np.abs(e1 - e2).max() < 1e-8
+
+
+def test_deflation_auto_criterion():
+    """deflation_pays gates on lambda_low vs m^2 (the measured-loss
+    regime at 24^3x48: lambda ~ 1.6e-7 << m^2 = 2.5e-3 was 2x SLOWER
+    deflated -- ROUND3.md), and auto_deflated_cg dispatches on it."""
+    import numpy as np
+    from qex_tpu.solvers.deflate import auto_deflated_cg, deflation_pays
+
+    assert not deflation_pays(np.array([1.6e-7, 1e-6]), 0.05)
+    assert deflation_pays(np.array([1e-2, 5e-2]), 0.05)
+    assert not deflation_pays(np.array([]), 0.05)
+
+    # small dense system: both branches produce the right answer
+    rng = np.random.default_rng(0)
+    n = 60
+    q, _ = np.linalg.qr(rng.normal(size=(n, n))
+                        + 1j * rng.normal(size=(n, n)))
+    lam = np.linspace(0.05, 4.0, n)
+    a = jnp.asarray((q * lam) @ np.conj(q.T), DT)
+    b = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n), DT)
+    vecs = jnp.asarray(np.conj(q.T)[:4], DT)
+    for m, want in ((0.01, True), (10.0, False)):
+        mm = m * m
+        op = lambda v: a @ v + mm * v
+        x, stats, used = auto_deflated_cg(op, b, lam[:4], vecs, m,
+                                          r2req=1e-20, maxits=500)
+        assert used is want
+        r = float(linalg.norm2(op(x) - b)) / float(linalg.norm2(b))
+        assert r < 1e-16, (m, r)

@@ -118,3 +118,4 @@ def test_kcycle_converges_and_beats_plain(system):
     assert int(s2.iterations) < int(s1.iterations), (
         int(s1.iterations), int(s2.iterations))
     assert len(h.setups) == 2
+

@@ -246,3 +246,24 @@ def test_nhyp_preproj_stages_compose(lat, u):
     ref = nhyp_smear(c, lat, u)
     assert float(linalg.norm2(v - ref)) < 1e-20 * float(
         linalg.norm2(ref))
+
+
+def test_hmc_step_split_forward_slabs_matches_fused(lat, u, monkeypatch):
+    """The per-output slab-list nHYP FORWARDS (huge-volume mode,
+    md.FWD_SPLIT_MIN_SITES gate) reproduce the fused trajectory --
+    forced on at test volume by monkeypatching the gate to 0."""
+    from qex_tpu.mcmc import md as mdmod
+    monkeypatch.setattr(mdmod, "FWD_SPLIT_MIN_SITES", 0)
+    theory = LatticeFieldTheory(
+        lat,
+        gauge=GaugeActionSpec(ga.wilson(5.0), steps=8, scheme="2MN"),
+        fermions=[FermionSpec("fermion", mass=0.5, steps=4,
+                              scheme="2MN", smeared=True)],
+        smear=HypCoefs(0.4, 0.5, 0.5), bc="pppa",
+        solver_params=SP, tau=0.4)
+    key = jax.random.PRNGKey(23)
+    u1, st1 = jax.jit(theory.hmc_step)(key, u)
+    u2, st2 = theory.hmc_step_split(key, u)
+    assert abs(float(st1.dH) - float(st2.dH)) < 5e-5 * (
+        1.0 + abs(float(st1.dH))), (float(st1.dH), float(st2.dH))
+    assert float(linalg.norm2(u1 - u2)) < 1e-8
