@@ -77,3 +77,32 @@ def test_redot2_norm22_complex():
     rd = dsum.df_value(dsum.redot2(xc, yc))
     assert float(n2) == pytest.approx(float(np.vdot(x, x).real), rel=1e-5)
     assert float(rd) == pytest.approx(float(np.vdot(x, y).real), rel=1e-4)
+
+
+def test_hmc_step_action2_matches_scalar():
+    """Standalone hmc.hmc_step with action2_fn (the compensated
+    Metropolis path bench_configs CONFIG3 uses) reproduces the scalar
+    path exactly in f64 (same trajectory; dH differs only by
+    summation order ~1e-13)."""
+    from functools import partial
+
+    from qex_tpu.gauge import action as ga
+    from qex_tpu.hmc import hmc, integrators
+    from qex_tpu.lattice import Lattice
+    from qex_tpu.ops import group
+
+    lat = Lattice((4, 4, 4, 4))
+    c = ga.wilson(5.5)
+    act = partial(ga.full_action, c, lat)
+    act2 = partial(ga.full_action2, c, lat)
+    frc = partial(ga.gauge_force, c, lat)
+    u = group.unit_gauge(lat, jnp.complex128)
+    sch = integrators.get_integrator("2MN")
+    key = jax.random.PRNGKey(5)
+    u1, s1 = jax.jit(lambda k, uu: hmc.hmc_step(
+        k, uu, act, frc, sch, 0.5, 10))(key, u)
+    u2, s2 = jax.jit(lambda k, uu: hmc.hmc_step(
+        k, uu, act, frc, sch, 0.5, 10, action2_fn=act2))(key, u)
+    assert float(jnp.max(jnp.abs(u1 - u2))) == 0.0
+    assert abs(float(s1.dH) - float(s2.dH)) < 1e-11 * (
+        1 + abs(float(s1.dH)))
