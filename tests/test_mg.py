@@ -119,3 +119,43 @@ def test_kcycle_converges_and_beats_plain(system):
         int(s1.iterations), int(s2.iterations))
     assert len(h.setups) == 2
 
+
+def test_backend_mg_dispatch_beats_cgne_iterations(system):
+    """SolverParams(backend="mg") reaches the K-cycle from the
+    wilson.solve/solve_eo surface and cuts iteration counts vs plain
+    CGNE (QEX solverBase.nim:14,50-53 backend switch ->
+    mg/wilsonmg.nim:58-104 solve driver role).
+
+    The full 8^3x16 light-mass A/B is a probe, not a suite test (CPU
+    wall: ~26 min): measured m=0.005 weak field -- CGNE 77 its vs MG
+    15 outer its at equal 1e-8 rel r2 (ROUND4.md).
+    """
+    from qex_tpu.solvers.base import MGParams, SolverParams
+
+    lat, op, b = system
+    key = jax.random.PRNGKey(12)
+    u = jnp.stack([
+        linalg.expm(0.4 * group.random_tah(jax.random.fold_in(key, i),
+                                           lat.dims, lat.nc, DT))
+        for i in range(lat.nd)])
+    w = wl.new_wilson(lat, u, m=0.1, bc="pppp")
+
+    x_cg, s_cg = wl.solve(w, b, SolverParams(r2req=1e-10, maxits=2000,
+                                             restarts=1))
+    p_mg = SolverParams(r2req=1e-10, maxits=300, backend="mg",
+                        mg=MGParams(nlevels=1, nvec=4, relax_iters=10,
+                                    m=10))
+    x_mg, s_mg = wl.solve(w, b, p_mg)
+    for x in (x_cg, x_mg):
+        r = float(linalg.norm2(wl.wilson_d(w, x) - b)) / float(
+            linalg.norm2(b))
+        assert r < 1e-8, r
+    assert int(s_mg.iterations) < int(s_cg.iterations), (
+        int(s_cg.iterations), int(s_mg.iterations))
+
+    # the eo entry point dispatches too
+    weo = wl.new_wilson_eo(lat, u, m=0.1, bc="pppp")
+    x_eo, _ = wl.solve_eo(weo, b, p_mg)
+    r = float(linalg.norm2(wl.wilson_d(w, x_eo) - b)) / float(
+        linalg.norm2(b))
+    assert r < 1e-8, r
