@@ -122,7 +122,10 @@ def main(argv=None) -> int:
         mm = m_d * m_d
 
         @jax.jit
-        def solves(b, *op_args):
+        def solves(b, evals, vecs, *op_args):
+            # evals/vecs threaded as ARGUMENTS: n eigenvectors at
+            # lattice volume closed over would serialize into the
+            # remote-compile request on the axon tunnel (HTTP 413)
             a_op = lambda v: mm * v + op(v, *op_args)
             x0, s0 = cgmod.cg_solve_restarted(a_op, b, r2req=1e-10,
                                               maxits=2000, restarts=2)
@@ -135,7 +138,7 @@ def main(argv=None) -> int:
                     jnp.real(r0).astype(jnp.float32),
                     jnp.real(r1).astype(jnp.float32))
 
-        i0, i1, r0, r1 = solves(b, *op_args)
+        i0, i1, r0, r1 = solves(b, evals, vecs, *op_args)
         from qex_tpu.solvers.deflate import deflation_pays
         # criterion uses the UNSHIFTED lambda band (res.evals is host
         # numpy; the shifted jnp `evals` would need a device fetch)

@@ -221,6 +221,26 @@ def main(argv=None) -> int:
               f"read(+cksum): {t_r:6.3f} s {sz/t_r/1e6:7.0f} MB/s | "
               f"dml_checksum: {t_c*1e3:7.1f} ms")
 
+        # cooperative single-file writer/reader (parallelIo.nim role;
+        # single-process here -- the N-process path is exercised by
+        # tests/test_pario.py): same file format, memmap hyperrectangle
+        # writes + partitioned DML checksum
+        from qex_tpu.io import pario
+        from qex_tpu.parallel import make_lattice_mesh
+
+        lm = make_lattice_mesh(lat)
+        ud = jax.device_put(un.astype("c8"))
+        fn2 = os.path.join(td, "bench_gauge_par.lime")
+        t0 = time.perf_counter()
+        pario.save_gauge_parallel(fn2, lat, ud)
+        t_pw = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pario.load_gauge_parallel(fn2, lat, lm)
+        t_pr = time.perf_counter() - t0
+        print(f"IO pario write: {t_pw:6.3f} s {sz/t_pw/1e6:7.0f} MB/s"
+              f" | pario read(+cksum): {t_pr:6.3f} s "
+              f"{sz/t_pr/1e6:7.0f} MB/s")
+
     # --- multi-device halo exchange (benchGather, sharded) -------------
     ndev = len(jax.devices())
     if ndev > 1:

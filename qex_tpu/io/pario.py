@@ -77,28 +77,35 @@ def _barrier(tag: str) -> None:
     multihost_utils.sync_global_devices(f"qex_pario_{tag}")
 
 
-def _combine_xor(path: str, tag: str, suma: int, sumb: int
-                 ) -> tuple[int, int]:
+def _combine_xor(path: str, tag: str, suma: int, sumb: int,
+                 nonce: int = 0) -> tuple[int, int]:
     """All-process XOR of checksum partials via sidecar files + two
-    barriers (QIO DML_checksum_combine role)."""
+    barriers (QIO DML_checksum_combine role).
+
+    ``nonce`` is any value all processes agree on BEFORE the barrier
+    (the payload byte offset works) -- it keys the sidecar names so a
+    crashed earlier call's stale sidecars can never be read by a later
+    call on the same path; each process also removes its own sidecar
+    in a finally (ADVICE r4)."""
     pid, nproc = jax.process_index(), jax.process_count()
     if nproc == 1:
         return suma, sumb
-    side = pathlib.Path(f"{path}.qexck{pid}")
-    side.write_text(f"{suma:x} {sumb:x}")
-    _barrier(f"{tag}_written")
-    ga = gb = 0
-    for r in range(nproc):
-        a, b = pathlib.Path(f"{path}.qexck{r}").read_text().split()
-        ga ^= int(a, 16)
-        gb ^= int(b, 16)
-    _barrier(f"{tag}_read")
-    if pid == 0:
+    stem = f"{path}.qexck_{tag}{nonce:x}_"
+    side = pathlib.Path(f"{stem}{pid}")
+    try:
+        side.write_text(f"{suma:x} {sumb:x}")
+        _barrier(f"{tag}_written")
+        ga = gb = 0
         for r in range(nproc):
-            try:
-                os.remove(f"{path}.qexck{r}")
-            except OSError:
-                pass
+            a, b = pathlib.Path(f"{stem}{r}").read_text().split()
+            ga ^= int(a, 16)
+            gb ^= int(b, 16)
+        _barrier(f"{tag}_read")
+    finally:
+        try:
+            os.remove(side)
+        except OSError:
+            pass
     return ga, gb
 
 
@@ -195,6 +202,9 @@ def save_gauge_parallel(path: str, lat: Lattice, garr,
     ``lime.save_gauge`` of the gathered field.
     """
     nd, nc = lat.nd, lat.nc
+    if nd != 4:
+        raise ValueError("pario supports 4D lattices only "
+                         f"(got nd={nd})")
     if tuple(garr.shape) != tuple(lat.gauge_shape()):
         raise ValueError(f"gauge shape {garr.shape} != "
                          f"{lat.gauge_shape()}")
@@ -231,7 +241,8 @@ def save_gauge_parallel(path: str, lat: Lattice, garr,
     del view
     _barrier("save_payload")
 
-    suma, sumb = _combine_xor(path, "save", suma, sumb)
+    suma, sumb = _combine_xor(path, "save", suma, sumb,
+                              nonce=payload_off)
     if jax.process_index() == 0:
         with open(path, "r+b") as f:
             f.seek(cksum_off)
@@ -272,6 +283,9 @@ def load_gauge_parallel(path: str, lat: Lattice, lm,
     from ..parallel import distributed as dist
 
     nd, nc = lat.nd, lat.nc
+    if nd != 4:
+        raise ValueError("pario supports 4D lattices only "
+                         f"(got nd={nd})")
     recs = _scan_records(path)
     by_type = {t: (o, n) for t, o, n in recs}
     bin_ = by_type.get("scidac-binary-data") \
@@ -327,7 +341,8 @@ def load_gauge_parallel(path: str, lat: Lattice, lm,
                                          _block_ranks(lat, idx[-nd:]))
                 suma ^= a
                 sumb ^= b
-            suma, sumb = _combine_xor(path, "load", suma, sumb)
+            suma, sumb = _combine_xor(path, "load", suma, sumb,
+                                      nonce=off)
             want = (int(m.group(1), 16), int(m2.group(1), 16))
             if want != (suma, sumb):
                 raise ValueError(
