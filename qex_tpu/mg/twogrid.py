@@ -53,6 +53,16 @@ class MGSetup:
         return self.w.shape[0]
 
 
+# pytree: the prolongator array is a leaf so setups (and hierarchies
+# of them) pass through jit as ARGUMENTS -- on the TPU tunnel a
+# closed-over volume-sized array serializes into the remote-compile
+# request (op_args discipline, CLAUDE.md)
+jax.tree_util.register_pytree_node(
+    MGSetup,
+    lambda s: ((s.w,), (s.lat, s.bs)),
+    lambda aux, leaves: MGSetup(aux[0], aux[1], leaves[0]))
+
+
 def restrict(setup: MGSetup, v: jax.Array) -> jax.Array:
     """Fine field (ns, nc, *dims) -> coarse (nvec, Xc, Yc, Zc, Tc)."""
     vb = _block_reshape(v, setup.lat, setup.bs)

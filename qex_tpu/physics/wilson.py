@@ -157,7 +157,7 @@ def solve_mg(w: WilsonD, b: jax.Array,
         max_restarts=max(1, params.maxits // mp.m), seed=mp.seed,
         hierarchy=hierarchy, relax_iters=mp.relax_iters,
         smooth_iters=mp.smooth_iters, k_m=mp.k_m,
-        bottom_iters=mp.bottom_iters)
+        bottom_iters=mp.bottom_iters, assemble=mp.assemble)
 
 
 # --- even-odd preconditioning (QEX wilsonD2ee, wilsonD.nim:212) -------------

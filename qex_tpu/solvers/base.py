@@ -33,6 +33,7 @@ class MGParams:
     k_m: int = 4           # K-cycle coarse GCR iterations
     bottom_iters: int = 16
     seed: int = 0
+    assemble: bool = True  # probe coarse ops into explicit stencils
 
 
 @dataclasses.dataclass(frozen=True)

@@ -32,48 +32,54 @@ def gcr_solve(op: Callable[[jax.Array], jax.Array], b: jax.Array,
         precon = lambda v: v
     b2 = linalg.norm2(b)
     stop = r2req * b2
-    n = b.size
 
-    def restart(carry, _):
-        x, r, r2, done, its = carry
+    # nested while_loops with TRUE early exit: a converged solve stops
+    # computing (the previous fixed-trip scan/fori with masked updates
+    # still ran max_restarts*m preconditioner applications -- measured
+    # 9.1 s for a 7-iteration MG solve at 4^4x8, exp_mg_ab.py)
+    def inner_cond(st):
+        i, x, r, r2, ps, aps, its = st
+        return jnp.logical_and(i < m, r2 > stop)
+
+    def inner(st):
+        i, x, r, r2, ps, aps, its = st
+        z = precon(r)
+        az = op(z)
+
+        # orthogonalize az against previous aps
+        def ortho(j, zz):
+            z_, az_ = zz
+            c = linalg.dot(aps[j], az_)
+            return (z_ - c * ps[j], az_ - c * aps[j])
+
+        z, az = jax.lax.fori_loop(0, i, ortho, (z, az))
+        nrm = jnp.sqrt(linalg.norm2(az)).astype(b.dtype)
+        inv = 1.0 / jnp.maximum(jnp.abs(nrm), 1e-30)
+        z = z * inv
+        az = az * inv
+        ps = ps.at[i].set(z)
+        aps = aps.at[i].set(az)
+        c = linalg.dot(az, r)
+        x = x + c * z
+        r = r - c * az
+        return (i + 1, x, r, linalg.norm2(r), ps, aps, its + 1)
+
+    def restart_cond(st):
+        x, r, r2, its, k = st
+        return jnp.logical_and(k < max_restarts, r2 > stop)
+
+    def restart(st):
+        x, r, r2, its, k = st
         ps = jnp.zeros((m,) + b.shape, b.dtype)
         aps = jnp.zeros((m,) + b.shape, b.dtype)
-
-        def inner(i, st):
-            x, r, r2, ps, aps, done, its = st
-            z = precon(r)
-            az = op(z)
-
-            # orthogonalize az against previous aps
-            def ortho(j, zz):
-                z_, az_ = zz
-                c = linalg.dot(aps[j], az_)
-                return (z_ - c * ps[j], az_ - c * aps[j])
-
-            z, az = jax.lax.fori_loop(0, i, ortho, (z, az))
-            nrm = jnp.sqrt(linalg.norm2(az)).astype(b.dtype)
-            z = z / jnp.maximum(jnp.abs(nrm), 1e-30) * jnp.sign(
-                jnp.where(jnp.abs(nrm) > 0, 1.0, 1.0)).astype(b.dtype)
-            az = az / jnp.maximum(jnp.abs(nrm), 1e-30)
-            ps = ps.at[i].set(z)
-            aps = aps.at[i].set(az)
-            c = linalg.dot(az, r)
-            active = jnp.logical_and(r2 > stop, jnp.logical_not(done))
-            x = jnp.where(active, x + c * z, x)
-            r = jnp.where(active, r - c * az, r)
-            r2n = linalg.norm2(r)
-            its = its + jnp.where(active, 1, 0)
-            return (x, r, jnp.where(active, r2n, r2), ps, aps, done,
-                    its)
-
-        x, r, r2, ps, aps, done, its = jax.lax.fori_loop(
-            0, m, inner, (x, r, r2, ps, aps, done, its))
-        done = r2 <= stop
-        return (x, r, r2, done, its), r2
+        _i, x, r, r2, ps, aps, its = jax.lax.while_loop(
+            inner_cond, inner,
+            (jnp.zeros((), jnp.int32), x, r, r2, ps, aps, its))
+        return (x, r, r2, its, k + 1)
 
     x0 = jnp.zeros_like(b)
-    r0 = b
-    (x, r, r2, done, its), _ = jax.lax.scan(
-        restart, (x0, r0, linalg.norm2(r0), jnp.array(False),
-                  jnp.zeros((), jnp.int32)), None, length=max_restarts)
+    x, r, r2, its, _k = jax.lax.while_loop(
+        restart_cond, restart,
+        (x0, b, b2, jnp.zeros((), jnp.int32),
+         jnp.zeros((), jnp.int32)))
     return x, SolverStats(iterations=its, r2=r2 / b2)
