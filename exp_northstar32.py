@@ -55,9 +55,26 @@ th = LatticeFieldTheory(
                                      restarts=2),
     tau=0.5)
 
+def memstats(tag):
+    try:
+        s = jax.devices()[0].memory_stats()
+        print(f"MEM {tag}: in_use={s.get('bytes_in_use', -1)/2**30:.2f}"
+              f" GiB peak={s.get('peak_bytes_in_use', -1)/2**30:.2f}"
+              f" GiB limit={s.get('bytes_limit', -1)/2**30:.2f} GiB",
+              flush=True)
+    except Exception as e:
+        print(f"MEM {tag}: unavailable ({e})", flush=True)
+
+
+memstats("start")
 prof = Profiler()
 t0 = time.time()
-u1, stt = th.hmc_step_split(key, u, always_accept=True, prof=prof)
+try:
+    u1, stt = th.hmc_step_split(key, u, always_accept=True, prof=prof)
+except Exception:
+    memstats("at-failure")
+    print(prof.report(), flush=True)
+    raise
 dt = time.time() - t0
 dH = float(stt.dH)
 

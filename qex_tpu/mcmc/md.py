@@ -413,7 +413,8 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
                 return gu, ga
         return run
 
-    def _pb_terms(pre, nout, terms, u_only=False, g_list=False):
+    def _pb_terms(pre, nout, terms, u_only=False, g_list=False,
+                  pre_piece=None, projvjp1=None, slab_of=None):
         """Slab-list pullback of proj(pre(...)): one output per chunk,
         pre VJP split per ADDEND (smear.StageTerm), every gradient a
         LIST of (3, 3, *dims) slabs.  Each addend jit receives the
@@ -428,25 +429,22 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
 
         ``g_list``: the incoming cotangent is itself a slab list from
         the level above (levels 1/2); level 3's cotangent is the dense
-        4-stack chain."""
-        def piece(c):
-            if u_only:
-                pre_c = jax.jit(lambda u: pre(u)[c:c + 1])
-            else:
-                pre_c = jax.jit(lambda u, a: pre(u, a)[c:c + 1])
+        4-stack chain.
 
-            if g_list:
-                @jax.jit
-                def projvjp(w, g_slab):
-                    _, vjp = jax.vjp(
-                        lambda ww: jnp.stack([proj(ww[0])]), w)
-                    return vjp(g_slab[None])[0]
+        Compile-count discipline (the CONFIG4 cold-start lever): the
+        projection VJP is c-independent, so all outputs of all levels
+        share ONE ``projvjp1`` program; the dense level-3 cotangent is
+        sliced by ONE traced-index ``slab_of`` program; and the
+        pre-projection forward of each output comes from the SAME
+        per-output jit the split forward path uses (``pre_piece``)
+        instead of a per-output DCE slice of the whole level."""
+        def piece(c):
+            if pre_piece is not None:
+                pre_c = pre_piece(c)
+            elif u_only:
+                pre_c = jax.jit(lambda u: pre(u)[c])
             else:
-                @jax.jit
-                def projvjp(w, g):
-                    _, vjp = jax.vjp(
-                        lambda ww: jnp.stack([proj(ww[0])]), w)
-                    return vjp(g[c:c + 1])[0]
+                pre_c = jax.jit(lambda u, a: pre(u, a)[c])
 
             def term_vjp(t):
                 if u_only:
@@ -464,35 +462,44 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
                         return vjp(gw1)
                 return pv, t.u_idx, t.a_idx
 
-            return pre_c, projvjp, [term_vjp(t) for t in terms[c]]
+            return pre_c, [term_vjp(t) for t in terms[c]]
 
         pieces = [piece(c) for c in range(nout)]
         na = 12  # level input stacks are 12 fields
         zslab = jax.jit(lambda u: jnp.zeros_like(u[0]))
+        if projvjp1 is None:
+            projvjp1 = jax.jit(
+                lambda w, g: jax.vjp(proj, w)[1](g)[0])
+        if slab_of is None:
+            slab_of = jax.jit(
+                lambda g, c: jax.lax.dynamic_slice_in_dim(
+                    g, c, 1, 0)[0])
 
         def cot(g, c, u):
             if not g_list:
-                return g
+                # ONE traced-index slicer serves every dense-cotangent
+                # output (c is runtime data, not a compile constant)
+                return slab_of(g, c)
             return g[c] if g[c] is not None else zslab(u)
 
         if u_only:
             def run(u, g):
                 gu = [None] * u.shape[0]
-                for c, (pre_c, projvjp, pvs) in enumerate(pieces):
+                for c, (pre_c, pvs) in enumerate(pieces):
                     w = pre_c(u)
-                    gw = projvjp(w, cot(g, c, u))
+                    gw = projvjp1(w, cot(g, c, u))
                     for pv, u_idx, _a_idx in pvs:
-                        _merge_slabs(gu, u_idx, pv(u, gw[0]))
+                        _merge_slabs(gu, u_idx, pv(u, gw))
                 return gu
         else:
             def run(u, a, g):
                 gu = [None] * u.shape[0]
                 ga = [None] * na
-                for c, (pre_c, projvjp, pvs) in enumerate(pieces):
+                for c, (pre_c, pvs) in enumerate(pieces):
                     w = pre_c(u, a)
-                    gw = projvjp(w, cot(g, c, u))
+                    gw = projvjp1(w, cot(g, c, u))
                     for pv, u_idx, a_idx in pvs:
-                        gus, gals = pv(u, a, gw[0])
+                        gus, gals = pv(u, a, gw)
                         _merge_slabs(gu, u_idx, gus)
                         _merge_slabs(ga, a_idx, gals)
                 return gu, ga
@@ -529,23 +536,25 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
         # 15.3-16.9 GB at 24^4 c64 on v5e = the CONFIG4 OOM; the
         # per-addend pieces are 2.8 GB each.)
         t1s, t2s, t3s = stage_terms
-        pb3 = _pb_terms(p3, 4, t3s)
-        pb2 = _pb_terms(p2, 12, t2s, g_list=True)
-        pb1 = _pb_terms(p1, 12, t1s, u_only=True, g_list=True)
-        terms_mode = True
 
-        # Slab-list FORWARDS for huge volumes: the whole-level forward
-        # jits peak 6.1/9.8/6.3 GB at 24^4 c64 (exp_nhyp_mem.py) --
-        # at the north-star 32^3x64 (6.3x sites) level 2 alone would
-        # exceed the chip.  One output per jit program (same donated
-        # slab-list discipline as the pullback), stacked by a single
-        # donated jit; gated on volume so smaller runs keep the 3-
-        # program compile count.
-        _fwd_cache: dict = {}
+        # Shared programs across ALL levels/outputs (compile-count
+        # lever: the split dispatcher's cold start is serialized
+        # remote compiles; one projection VJP + one traced-index
+        # cotangent slicer + one projection forward replace 28+28
+        # per-output clones at 24^4)
+        _projvjp1 = jax.jit(lambda w, g: jax.vjp(proj, w)[1](g)[0])
+        _slab_of = jax.jit(lambda g, c: jax.lax.dynamic_slice_in_dim(
+            g, c, 1, 0)[0])
+        _projj1 = jax.jit(proj)
 
-        def _fwd_piece(level, o):
-            if (level, o) in _fwd_cache:
-                return _fwd_cache[(level, o)]
+        _pre_cache: dict = {}
+
+        def _pre_piece(level, o):
+            """Per-(level, output) PRE-projection forward from the
+            addend terms -- ONE program reused by both the split
+            forward path and the pullback's w recomputation."""
+            if (level, o) in _pre_cache:
+                return _pre_cache[(level, o)]
             tl = (t1s, t2s, t3s)[level][o]
             if level == 0:
                 @jax.jit
@@ -556,7 +565,7 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
                         x = t.fn(us, ())
                         acc = x if acc is None else \
                             jax.lax.optimization_barrier(acc + x)
-                    return proj(acc)
+                    return acc
             else:
                 @jax.jit
                 def f(u, a):
@@ -567,9 +576,35 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
                         x = t.fn(us, als)
                         acc = x if acc is None else \
                             jax.lax.optimization_barrier(acc + x)
-                    return proj(acc)
-            _fwd_cache[(level, o)] = f
+                    return acc
+            _pre_cache[(level, o)] = f
             return f
+
+        pb3 = _pb_terms(p3, 4, t3s,
+                        pre_piece=lambda c: _pre_piece(2, c),
+                        projvjp1=_projvjp1, slab_of=_slab_of)
+        pb2 = _pb_terms(p2, 12, t2s, g_list=True,
+                        pre_piece=lambda c: _pre_piece(1, c),
+                        projvjp1=_projvjp1, slab_of=_slab_of)
+        pb1 = _pb_terms(p1, 12, t1s, u_only=True, g_list=True,
+                        pre_piece=lambda c: _pre_piece(0, c),
+                        projvjp1=_projvjp1, slab_of=_slab_of)
+        terms_mode = True
+
+        # Slab-list FORWARDS for huge volumes: the whole-level forward
+        # jits peak 6.1/9.8/6.3 GB at 24^4 c64 (exp_nhyp_mem.py) --
+        # at the north-star 32^3x64 (6.3x sites) level 2 alone would
+        # exceed the chip.  One output per jit program (same donated
+        # slab-list discipline as the pullback), stacked by a single
+        # donated jit; gated on volume so smaller runs keep the 3-
+        # program compile count.
+        def _fwd_piece(level, o):
+            # SAME per-output program as the pullback's w recomputation
+            # (_pre_piece) + the one shared projection program: the
+            # split forward adds ZERO extra compiles beyond the
+            # pullback's set
+            f = _pre_piece(level, o)
+            return lambda *args: _projj1(f(*args))
 
         _stack_jits: dict = {}
 

@@ -452,6 +452,14 @@ class LatticeFieldTheory:
             if prof is not None:
                 from ..utils.profile import _device_sync
                 _device_sync(h_old)
+        import os as _os
+        if _os.environ.get("QEX_SPLIT_DROP_BEGIN"):
+            # diagnostic (north-star OOM): drop the giant fused
+            # heatbath executable before the MD piece programs run --
+            # costs a recompile on the next trajectory
+            begin.clear_cache()
+            import gc as _gc
+            _gc.collect()
         with ptimer("md"):
             u1, p1 = run_trajectory_split(self.terms, u, p, phis,
                                           self.tau,
