@@ -399,6 +399,118 @@ class LatticeFieldTheory:
         return {"h0": v0, "h1": v1, "h2": v2, "dH_fwd": dfw,
                 "dH_rev": drv, "u_dev2": ud, "p_dev2": pd}
 
+    def _split_begin_finish(self, transform, stages):
+        """(begin, finish) built from SMALL per-term jits.
+
+        Same math and the same key-splitting structure as the fused
+        ``begin``/``finish`` (momenta from kp; per-term heatbath keys
+        = split(kf, n_terms)), but the smear forward runs through the
+        staged split path (md._smeared_split_jits, the same pieces the
+        MD phase uses) and every heatbath / action2 term is its own
+        program with the smeared links as an ARGUMENT.  Needed at the
+        north-star volume, and cuts cold compile everywhere."""
+        from . import md as md_mod
+        from ..gauge.action import full_action2
+
+        lat = self.lat
+        terms = self.terms
+        _sm, _add, _ch, _pb, sj = md_mod._smeared_split_jits(
+            terms, transform, stages)
+        j1s, j2s, j3s = sj
+
+        def smear_v(u):
+            a1 = j1s(u)
+            a2 = j2s(u, a1)
+            return j3s(u, a2)
+
+        nterms = len(terms)
+        any_sm = any(t.smeared for t in terms)
+
+        @jax.jit
+        def draw_p(kp, u):
+            nd, nc = u.shape[0], u.shape[1]
+            return jax.vmap(lambda k: group.random_tah(
+                k, u.shape[3:], nc, u.dtype))(
+                jax.random.split(kp, nd))
+
+        @jax.jit
+        def split3(key):
+            return jax.random.split(key, 3)
+
+        @jax.jit
+        def splitn(key):
+            return jax.random.split(key, nterms)
+
+        kin2 = jax.jit(hmc_mod.kinetic_energy2)
+
+        # per-term v-level jits, aligned with self.terms (gauges first,
+        # then matter in matter_bases order)
+        heats: list = []
+        acts2: list = []
+        for gspec in self.gauges:
+            gc = gspec.coeffs
+            heats.append(None)
+            acts2.append(jax.jit(
+                lambda w, _phi, gc=gc: full_action2(gc, lat, w)))
+        for (_name, base, _sm_b) in self.matter_bases:
+            heats.append(jax.jit(
+                lambda k, w, base=base: base.heatbath(k, w)))
+            if hasattr(base, "make_action2_fn"):
+                s2 = base.make_action2_fn()
+                acts2.append(jax.jit(
+                    lambda w, phi, s2=s2: s2(w, phi)))
+            else:
+                s1 = base.make_action_fn()
+                acts2.append(jax.jit(
+                    lambda w, phi, s1=s1: (
+                        lambda a: (a, jnp.zeros_like(a)))(s1(w, phi))))
+        assert len(heats) == nterms, (len(heats), nterms)
+
+        @jax.jit
+        def combine(*pairs):
+            h = pairs[0]
+            for q in pairs[1:]:
+                h = dsum.df_add(h, q)
+            return h
+
+        def hamiltonian2_split(u, p, phis):
+            v = smear_v(u) if any_sm else u
+            pairs = [kin2(p)]
+            for i, t in enumerate(terms):
+                w = v if t.smeared else u
+                pairs.append(acts2[i](w, phis[i]))
+            return combine(*pairs)
+
+        def begin(key, u):
+            kp, kf, ka = split3(key)
+            p = draw_p(kp, u)
+            v = smear_v(u) if any_sm else u
+            keys = splitn(kf)
+            phis = []
+            for i, t in enumerate(terms):
+                if heats[i] is None:
+                    phis.append(None)
+                else:
+                    w = v if t.smeared else u
+                    phis.append(heats[i](keys[i], w))
+            return p, phis, hamiltonian2_split(u, p, phis), ka
+
+        @jax.jit
+        def metro(u, u1, h_old2, h_new2, ka, warm):
+            dH = dsum.df_value(dsum.df_sub(h_new2, h_old2))
+            r = jax.random.uniform(ka, (), jnp.float32)
+            acc = jnp.logical_or(jnp.asarray(warm), jnp.log(r) < -dH)
+            u_out = jnp.where(acc, u1, u)
+            return u_out, hmc_mod.HMCState(
+                accepted=acc, dH=dH, h_old=dsum.df_value(h_old2),
+                h_new=dsum.df_value(h_new2))
+
+        def finish(u, u1, p1, phis, h_old2, ka, warm):
+            h_new2 = hamiltonian2_split(u1, p1, phis)
+            return metro(u, u1, h_old2, h_new2, ka, warm)
+
+        return begin, finish
+
     def hmc_step_split(self, key: jax.Array, u: jax.Array,
                        always_accept: bool | jax.Array = False,
                        prof=None):
@@ -441,6 +553,19 @@ class LatticeFieldTheory:
                 accepted=acc, dH=dH, h_old=dsum.df_value(h_old2),
                 h_new=dsum.df_value(h_new2))
 
+        import os as _os
+        if stages is not None and not _os.environ.get(
+                "QEX_FUSED_BEGIN"):
+            # SPLIT heatbath/Hamiltonian: the fused `begin` is one
+            # giant program (full nHYP forward + every heatbath solve
+            # + every action2 term); at 32^3x64 it left the subsequent
+            # MD piece programs RESOURCE_EXHAUSTED (round-5 north-star
+            # runs) and it dominates cold compile.  Momentum draw,
+            # each term's heatbath, and each action2 term run as
+            # separate small jits against a pre-smeared v threaded as
+            # an ARGUMENT, reusing the staged split forward path.
+            begin, finish = self._split_begin_finish(transform, stages)
+
         import contextlib
 
         def ptimer(name, sync=None):
@@ -457,7 +582,7 @@ class LatticeFieldTheory:
             # diagnostic (north-star OOM): drop the giant fused
             # heatbath executable before the MD piece programs run --
             # costs a recompile on the next trajectory
-            begin.clear_cache()
+            getattr(begin, "clear_cache", lambda: None)()
             import gc as _gc
             _gc.collect()
         with ptimer("md"):
