@@ -127,16 +127,22 @@ def chain(dims, warm_steps, n_warm, scan_steps, n_scan, n_meas,
 
 
 recs = []
+
+
+def dump():
+    with open("ACCEPT_CHIP.json", "w") as f:
+        f.write(json.dumps({"backend": jax.default_backend(),
+                            "records": recs}) + "\n")
+
+
 # A: matched-volume cross-backend chain (same seed/keys as the CPU f64
 # run; hmc_step draws momenta in the field dtype = f32 on both)
 recs.append(chain((8, 8, 8, 16), warm_steps=10, n_warm=30,
                   scan_steps=[20, 30], n_scan=4, n_meas=30, seed=50))
+dump()
 # B: CONFIG3 volume, thorough warmup then accepting run
 recs.append(chain((16, 16, 16, 32), warm_steps=20, n_warm=40,
                   scan_steps=[24, 32, 48], n_scan=3, n_meas=24,
                   seed=60))
-
-with open("ACCEPT_CHIP.json", "w") as f:
-    f.write(json.dumps({"backend": jax.default_backend(),
-                        "records": recs}) + "\n")
+dump()
 print("wrote ACCEPT_CHIP.json", flush=True)

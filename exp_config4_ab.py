@@ -80,12 +80,18 @@ def traj(u, warm=False):
     return u1, dt, dH
 
 
+def dump():
+    with open("CONFIG4_AB.json", "w") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
 t0 = time.time()
 u, dt0, dH0 = traj(u, warm=True)
 cold_s = time.time() - t0
 print(f"phase0 cold+warmup: {cold_s:.1f} s (incl. compiles)",
       flush=True)
 rec["cold_total_sec"] = round(cold_s, 1)
+dump()
 
 for name, env, n in (("baseline", None, 3),
                      ("no_chain_share", "QEX_NO_CHAIN_SHARE", 1),
@@ -109,8 +115,8 @@ for name, env, n in (("baseline", None, 3),
                            "mean_sec": round(sum(times) / len(times),
                                              1)}
     print(f"phase {name}: {times} s/traj", flush=True)
+    dump()
 
 rec["plaq"] = float(plq(u))
-with open("CONFIG4_AB.json", "w") as f:
-    f.write(json.dumps(rec) + "\n")
+dump()
 print("wrote CONFIG4_AB.json", flush=True)

@@ -25,6 +25,7 @@ trick is applied per kick.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Callable, Sequence
 
@@ -260,7 +261,32 @@ def _kick_jit(terms, sig, update_u, transform):
     return (kick if rest else None)
 
 
+_SPLIT_JITS_MEMO: dict = {}
+
+
 def _smeared_split_jits(terms, transform, transform_stages=None):
+    """Memoized wrapper around :func:`_smeared_split_jits_build`.
+
+    Re-dispatching a trajectory (or the split heatbath sharing the MD
+    piece programs) must REUSE the already-compiled jits: rebuilding
+    them produced fresh wrappers whose programs recompile and reload
+    every call (measured 174/184 recompiles on trajectory 2 at 4^4,
+    round 5) and doubled program residency between the heatbath and MD
+    phases at 32^3x64.  Keyed on object identity; each entry keeps
+    strong references to its key objects so ids cannot be recycled
+    while the entry lives."""
+    key = (id(terms), id(transform), id(transform_stages))
+    hit = _SPLIT_JITS_MEMO.get(key)
+    if hit is not None:
+        return hit[0]
+    out = _smeared_split_jits_build(terms, transform, transform_stages)
+    if len(_SPLIT_JITS_MEMO) >= 16:
+        _SPLIT_JITS_MEMO.pop(next(iter(_SPLIT_JITS_MEMO)))
+    _SPLIT_JITS_MEMO[key] = (out, (terms, transform, transform_stages))
+    return out
+
+
+def _smeared_split_jits_build(terms, transform, transform_stages=None):
     """Jits for the smeared kick, split so each compiles alone:
     forward smear, one chain-force per term (contains the solves), an
     accumulating add, and the smear pullback (recomputes the forward
@@ -687,6 +713,25 @@ def _smeared_split_jits(terms, transform, transform_stages=None):
     return smear, add, chains, pullback_kick, (j1, j2, j3)
 
 
+_TRAJ_JITS_MEMO: dict = {}
+
+
+def _traj_jits(terms, update_u):
+    """Memoized (upd, kick_fns) for :func:`run_trajectory_split` --
+    the kick programs hold the MD force solves; rebuilding them per
+    trajectory recompiled every one (see :func:`_smeared_split_jits`)."""
+    key = (id(terms), id(update_u))
+    hit = _TRAJ_JITS_MEMO.get(key)
+    if hit is not None:
+        return hit[0]
+    upd = jax.jit(lambda u, p, dt: update_u(u, p, dt))
+    out = (upd, {})
+    if len(_TRAJ_JITS_MEMO) >= 16:
+        _TRAJ_JITS_MEMO.pop(next(iter(_TRAJ_JITS_MEMO)))
+    _TRAJ_JITS_MEMO[key] = (out, (terms, update_u))
+    return out
+
+
 def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
                          p0: jax.Array, phis: Sequence[Any], tau: float,
                          update_u, transform=None, transform_stages=None,
@@ -702,8 +747,7 @@ def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
     """
     schedule = build_schedule(terms, tau)
     rdt = jnp.finfo(u0.dtype).dtype  # match scan-path precision
-    upd = jax.jit(lambda u, p, dt: update_u(u, p, dt))
-    kick_fns: dict[tuple, Any] = {}
+    upd, kick_fns = _traj_jits(terms, update_u)
     smear = add = chains = pullback = stages = None
     if transform is not None:
         smear, add, chains, pullback, stages = _smeared_split_jits(
@@ -729,7 +773,33 @@ def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
             continue
         shared = [(i, c) for (i, c, x) in kicks
                   if chains is not None and i in chains and x == 0.0]
-        if shared:
+        # chain-graph A/B: QEX_NO_CHAIN_SHARE=1 runs one smear
+        # pullback PER chain instead of summing same-time chains into
+        # one pullback (the production convention).  Checked at call
+        # time -- no new programs, the pullback jits are identical.
+        no_share = bool(os.environ.get("QEX_NO_CHAIN_SHARE"))
+        if shared and no_share:
+            with ptimer("smear_fwd"):
+                if stages is not None:
+                    j1, j2, j3 = stages
+                    a1 = j1(u)
+                    a2 = j2(u, a1)
+                    v = j3(u, a2)
+                else:
+                    a1 = a2 = None
+                    v = smear(u)
+                if prof is not None:
+                    _psync(v)
+            for (i, c) in shared:
+                with ptimer(f"chain:{terms[i].name}"):
+                    ci = chains[i](v, phis[i], jnp.asarray(c, rdt))
+                    if prof is not None:
+                        _psync(ci)
+                with ptimer("smear_pullback"):
+                    p = pullback(u, p, ci, a1, a2)
+                    if prof is not None:
+                        _psync(p)
+        elif shared:
             with ptimer("smear_fwd"):
                 if stages is not None:
                     # staged forward: keep a1/a2 for the pullback

@@ -350,14 +350,7 @@ class LatticeFieldTheory:
         memory envelope at 24^4+)."""
         from ..ops import linalg
         lat = self.lat
-        transform = (self._smear
-                     if any(t.smeared for t in self.terms) else None)
-        stages = None
-        if transform is not None and isinstance(self.smear_coefs,
-                                                HypCoefs):
-            pre, proj = nhyp_stages_preproj(self.smear_coefs, lat)
-            stages = (pre, proj,
-                      nhyp_stage_terms(self.smear_coefs, lat))
+        _cache, transform, stages = self._split_transform_stages()
 
         @jax.jit
         def begin(key, u):
@@ -398,6 +391,35 @@ class LatticeFieldTheory:
         v0, v1, v2, dfw, drv = finals(h0, h1, h2)
         return {"h0": v0, "h1": v1, "h2": v2, "dH_fwd": dfw,
                 "dH_rev": drv, "u_dev2": ud, "p_dev2": pd}
+
+    def _split_transform_stages(self):
+        """Cached (cache, transform, stages) for the split dispatcher.
+
+        ONE bound-method object and ONE stages tuple per theory:
+        ``self._smear`` makes a fresh bound method per attribute
+        access, and rebuilding the stages tuple per call busted the
+        md jit-bundle memo (keyed on object identity) every
+        trajectory -- 160/181 programs recompiled on every warm
+        trajectory (measured round 5)."""
+        cache = getattr(self, "_split_jit_cache", None)
+        if cache is None:
+            cache = self._split_jit_cache = {}
+        if "transform" not in cache:
+            cache["transform"] = (
+                self._smear
+                if any(t.smeared for t in self.terms) else None)
+        transform = cache["transform"]
+        if "stages" not in cache:
+            stages = None
+            if transform is not None and isinstance(self.smear_coefs,
+                                                    HypCoefs):
+                pre, proj = nhyp_stages_preproj(self.smear_coefs,
+                                                self.lat)
+                stages = (pre, proj,
+                          nhyp_stage_terms(self.smear_coefs,
+                                           self.lat))
+            cache["stages"] = stages
+        return cache, transform, cache["stages"]
 
     def _split_begin_finish(self, transform, stages):
         """(begin, finish) built from SMALL per-term jits.
@@ -473,8 +495,9 @@ class LatticeFieldTheory:
                 h = dsum.df_add(h, q)
             return h
 
-        def hamiltonian2_split(u, p, phis):
-            v = smear_v(u) if any_sm else u
+        def hamiltonian2_split(u, p, phis, v=None):
+            if v is None:
+                v = smear_v(u) if any_sm else u
             pairs = [kin2(p)]
             for i, t in enumerate(terms):
                 w = v if t.smeared else u
@@ -493,7 +516,9 @@ class LatticeFieldTheory:
                 else:
                     w = v if t.smeared else u
                     phis.append(heats[i](keys[i], w))
-            return p, phis, hamiltonian2_split(u, p, phis), ka
+            # reuse the already-smeared v for H0 (the smear forward is
+            # a third of the heatbath phase at the north-star volume)
+            return p, phis, hamiltonian2_split(u, p, phis, v), ka
 
         @jax.jit
         def metro(u, u1, h_old2, h_new2, ka, warm):
@@ -523,48 +548,58 @@ class LatticeFieldTheory:
         ``prof``: optional utils.profile.Profiler — records the
         heatbath / md (per-phase children) / metropolis timer tree
         (QEX's per-trajectory profile, staghmc_spv.nim:356-365)."""
-        lat = self.lat
-        transform = (self._smear
-                     if any(t.smeared for t in self.terms) else None)
-        stages = None
-        if transform is not None and isinstance(self.smear_coefs,
-                                                HypCoefs):
-            pre, proj = nhyp_stages_preproj(self.smear_coefs, lat)
-            stages = (pre, proj,
-                      nhyp_stage_terms(self.smear_coefs, lat))
-
-        @jax.jit
-        def begin(key, u):
-            kp, kf, ka = jax.random.split(key, 3)
-            nd, nc = u.shape[0], u.shape[1]
-            p = jax.vmap(lambda k: group.random_tah(
-                k, u.shape[3:], nc, u.dtype))(jax.random.split(kp, nd))
-            phis = self.heatbath(kf, u)
-            return p, phis, self.hamiltonian2(u, p, phis), ka
-
-        @jax.jit
-        def finish(u, u1, p1, phis, h_old2, ka, warm):
-            h_new2 = self.hamiltonian2(u1, p1, phis)
-            dH = dsum.df_value(dsum.df_sub(h_new2, h_old2))
-            r = jax.random.uniform(ka, (), jnp.float32)
-            acc = jnp.logical_or(jnp.asarray(warm), jnp.log(r) < -dH)
-            u_out = jnp.where(acc, u1, u)
-            return u_out, hmc_mod.HMCState(
-                accepted=acc, dH=dH, h_old=dsum.df_value(h_old2),
-                h_new=dsum.df_value(h_new2))
-
         import os as _os
-        if stages is not None and not _os.environ.get(
-                "QEX_FUSED_BEGIN"):
-            # SPLIT heatbath/Hamiltonian: the fused `begin` is one
-            # giant program (full nHYP forward + every heatbath solve
-            # + every action2 term); at 32^3x64 it left the subsequent
-            # MD piece programs RESOURCE_EXHAUSTED (round-5 north-star
-            # runs) and it dominates cold compile.  Momentum draw,
-            # each term's heatbath, and each action2 term run as
-            # separate small jits against a pre-smeared v threaded as
-            # an ARGUMENT, reusing the staged split forward path.
-            begin, finish = self._split_begin_finish(transform, stages)
+        lat = self.lat
+        # jit bundles are cached per theory: rebuilding them per call
+        # created fresh wrappers whose programs recompiled and
+        # reloaded EVERY trajectory (174/184 programs on trajectory 2,
+        # measured round 5) -- warm trajectories paid near-cold
+        # compile cost, and the program churn between the heatbath and
+        # MD phases RESOURCE_EXHAUSTED the 32^3x64 north-star.
+        cache, transform, stages = self._split_transform_stages()
+
+        use_split = (stages is not None
+                     and not _os.environ.get("QEX_FUSED_BEGIN"))
+        mode = "split" if use_split else "fused"
+        if ("bf", mode) not in cache:
+            if use_split:
+                # SPLIT heatbath/Hamiltonian: the fused `begin` is one
+                # giant program (full nHYP forward + every heatbath
+                # solve + every action2 term); at 32^3x64 it left the
+                # subsequent MD piece programs RESOURCE_EXHAUSTED
+                # (round-5 north-star runs) and it dominates cold
+                # compile.  Momentum draw, each term's heatbath, and
+                # each two-float action term run as separate small
+                # jits against a pre-smeared v threaded as an
+                # ARGUMENT, reusing the staged split forward path.
+                cache[("bf", mode)] = self._split_begin_finish(
+                    transform, stages)
+            else:
+                @jax.jit
+                def begin(key, u):
+                    kp, kf, ka = jax.random.split(key, 3)
+                    nd, nc = u.shape[0], u.shape[1]
+                    p = jax.vmap(lambda k: group.random_tah(
+                        k, u.shape[3:], nc, u.dtype))(
+                        jax.random.split(kp, nd))
+                    phis = self.heatbath(kf, u)
+                    return p, phis, self.hamiltonian2(u, p, phis), ka
+
+                @jax.jit
+                def finish(u, u1, p1, phis, h_old2, ka, warm):
+                    h_new2 = self.hamiltonian2(u1, p1, phis)
+                    dH = dsum.df_value(dsum.df_sub(h_new2, h_old2))
+                    r = jax.random.uniform(ka, (), jnp.float32)
+                    acc = jnp.logical_or(jnp.asarray(warm),
+                                         jnp.log(r) < -dH)
+                    u_out = jnp.where(acc, u1, u)
+                    return u_out, hmc_mod.HMCState(
+                        accepted=acc, dH=dH,
+                        h_old=dsum.df_value(h_old2),
+                        h_new=dsum.df_value(h_new2))
+
+                cache[("bf", mode)] = (begin, finish)
+        begin, finish = cache[("bf", mode)]
 
         import contextlib
 
