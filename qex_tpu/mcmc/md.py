@@ -713,6 +713,36 @@ def _smeared_split_jits_build(terms, transform, transform_stages=None):
     return smear, add, chains, pullback_kick, (j1, j2, j3)
 
 
+_throttle_fetch = None
+
+
+def dispatch_throttle(x) -> None:
+    """Drain the dispatch queue by fetching one real scalar from ``x``.
+
+    On the axon tunnel execution is asynchronous but program OUTPUT
+    buffers are allocated synchronously at dispatch: an unthrottled
+    Python loop of large-volume piece programs pre-allocates every
+    enqueued program's outputs on top of the currently-executing
+    program's temp arena, and the 32^3x64 split trajectory
+    RESOURCE_EXHAUSTED s even though each piece fits alone (round-5
+    capacity probes: ~14 GiB usable, piece peak 8.3 GiB, queued
+    outputs several GiB).  One fetch per phase (~20-40 ms) bounds the
+    queue at one phase's outputs.  Accepts any pytree; fetches from
+    its first array leaf."""
+    global _throttle_fetch
+    if _throttle_fetch is None:
+        _throttle_fetch = jax.jit(
+            lambda a: jnp.real(jnp.ravel(a)[0]).astype(jnp.float32))
+    leaves = jax.tree_util.tree_leaves(x)
+    if leaves:
+        float(_throttle_fetch(leaves[0]))
+
+
+def _big_volume(u) -> bool:
+    import numpy as _np
+    return int(_np.prod(u.shape[3:])) >= FWD_SPLIT_MIN_SITES
+
+
 _TRAJ_JITS_MEMO: dict = {}
 
 
@@ -762,6 +792,7 @@ def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
         def ptimer(name, sync=None):
             return prof.timer(name, sync=sync)
 
+    big = _big_volume(u0)
     u, p = u0, p0
     for dt, kicks in schedule:
         if dt > _EPS:
@@ -769,6 +800,8 @@ def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
                 u = upd(u, p, jnp.asarray(dt, rdt))
                 if prof is not None:
                     _psync(u)
+                elif big:
+                    dispatch_throttle(u)
         if not kicks:
             continue
         shared = [(i, c) for (i, c, x) in kicks
@@ -783,13 +816,19 @@ def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
                 if stages is not None:
                     j1, j2, j3 = stages
                     a1 = j1(u)
+                    if big:
+                        dispatch_throttle(a1)
                     a2 = j2(u, a1)
+                    if big:
+                        dispatch_throttle(a2)
                     v = j3(u, a2)
                 else:
                     a1 = a2 = None
                     v = smear(u)
                 if prof is not None:
                     _psync(v)
+                elif big:
+                    dispatch_throttle(v)
             for (i, c) in shared:
                 with ptimer(f"chain:{terms[i].name}"):
                     ci = chains[i](v, phis[i], jnp.asarray(c, rdt))
@@ -799,6 +838,8 @@ def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
                     p = pullback(u, p, ci, a1, a2)
                     if prof is not None:
                         _psync(p)
+                    elif big:
+                        dispatch_throttle(p)
         elif shared:
             with ptimer("smear_fwd"):
                 if stages is not None:
@@ -807,13 +848,19 @@ def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
                     # per kick)
                     j1, j2, j3 = stages
                     a1 = j1(u)
+                    if big:
+                        dispatch_throttle(a1)
                     a2 = j2(u, a1)
+                    if big:
+                        dispatch_throttle(a2)
                     v = j3(u, a2)
                 else:
                     a1 = a2 = None
                     v = smear(u)
                 if prof is not None:
                     _psync(v)
+                elif big:
+                    dispatch_throttle(v)
             total = None
             for (i, c) in shared:
                 with ptimer(f"chain:{terms[i].name}"):
@@ -825,6 +872,8 @@ def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
                 p = pullback(u, p, total, a1, a2)
                 if prof is not None:
                     _psync(p)
+                elif big:
+                    dispatch_throttle(p)
         sig = tuple((i, x != 0.0) for (i, c, x) in kicks)
         if sig not in kick_fns:
             kick_fns[sig] = _kick_jit(terms, sig, update_u, transform)
@@ -836,6 +885,8 @@ def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
                 p = kick_fns[sig](u, p, phis, cdts, xis)
                 if prof is not None:
                     _psync(p)
+                elif big:
+                    dispatch_throttle(p)
     return u, p
 
 

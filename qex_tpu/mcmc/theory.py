@@ -439,11 +439,25 @@ class LatticeFieldTheory:
         _sm, _add, _ch, _pb, sj = md_mod._smeared_split_jits(
             terms, transform, stages)
         j1s, j2s, j3s = sj
+        big = lat.volume >= md_mod.FWD_SPLIT_MIN_SITES
 
         def smear_v(u):
+            # per-stage dispatch throttles at big volumes: program
+            # outputs are allocated at DISPATCH on the axon tunnel, so
+            # an unthrottled begin pipeline pre-allocates every queued
+            # stage's outputs and RESOURCE_EXHAUSTED s at 32^3x64 (see
+            # md.dispatch_throttle)
             a1 = j1s(u)
+            if big:
+                md_mod.dispatch_throttle(a1)
             a2 = j2s(u, a1)
-            return j3s(u, a2)
+            del a1
+            if big:
+                md_mod.dispatch_throttle(a2)
+            v = j3s(u, a2)
+            if big:
+                md_mod.dispatch_throttle(v)
+            return v
 
         nterms = len(terms)
         any_sm = any(t.smeared for t in terms)
@@ -516,6 +530,8 @@ class LatticeFieldTheory:
                 else:
                     w = v if t.smeared else u
                     phis.append(heats[i](keys[i], w))
+                    if big:
+                        md_mod.dispatch_throttle(phis[-1])
             # reuse the already-smeared v for H0 (the smear forward is
             # a third of the heatbath phase at the north-star volume)
             return p, phis, hamiltonian2_split(u, p, phis, v), ka
@@ -607,12 +623,25 @@ class LatticeFieldTheory:
             return (prof.timer(name, sync=sync) if prof is not None
                     else contextlib.nullcontext())
 
+        from .md import FWD_SPLIT_MIN_SITES, dispatch_throttle
+        big = lat.volume >= FWD_SPLIT_MIN_SITES
         with ptimer("heatbath"):
             p, phis, h_old, ka = begin(key, u)
             if prof is not None:
                 from ..utils.profile import _device_sync
                 _device_sync(h_old)
-        import os as _os
+            elif big:
+                dispatch_throttle(h_old)
+        if big:
+            # drain, then give the tunnel's buffer frees time to land
+            # before MD's first big dispatch (begin's intermediates are
+            # Python-dead here but their device frees are async; the
+            # first MD piece allocated into a still-full arena at
+            # 32^3x64)
+            import gc as _gc
+            _gc.collect()
+            import time as _time
+            _time.sleep(2.0)
         if _os.environ.get("QEX_SPLIT_DROP_BEGIN"):
             # diagnostic (north-star OOM): drop the giant fused
             # heatbath executable before the MD piece programs run --
