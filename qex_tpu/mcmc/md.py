@@ -632,16 +632,6 @@ def _smeared_split_jits_build(terms, transform, transform_stages=None):
             f = _pre_piece(level, o)
             return lambda *args: _projj1(f(*args))
 
-        _stack_jits: dict = {}
-
-        def _stack_slabs(slabs):
-            n = len(slabs)
-            if n not in _stack_jits:
-                _stack_jits[n] = jax.jit(
-                    lambda *xs: jnp.stack(xs),
-                    donate_argnums=tuple(range(n)))
-            return _stack_jits[n](*slabs)
-
         def _fwd_split(u):
             import numpy as _np
             return (int(_np.prod(u.shape[3:]))
@@ -662,23 +652,35 @@ def _smeared_split_jits_build(terms, transform, transform_stages=None):
     if terms_mode:
         _j1, _j2, _j3 = j1, j2, j3
 
+        # Slab TUPLES, not a stacked array: jnp.stack cannot alias its
+        # inputs into the contiguous output (the donate_argnums were
+        # "not usable"), so stacking paid a full-level copy (1.8 GB at
+        # 32^3x64) at EVERY stage boundary.  Downstream consumers
+        # (stage pieces, pullback pieces, j3) only ever index a[i] at
+        # trace time, which works identically on a tuple.
         def j1(u):
             if not _fwd_split(u):
                 return _j1(u)
-            return _stack_slabs([_fwd_piece(0, o)(u)
-                                 for o in range(len(t1s))])
+            return tuple(_fwd_piece(0, o)(u)
+                         for o in range(len(t1s)))
 
         def j2(u, a1):
             if not _fwd_split(u):
                 return _j2(u, a1)
-            return _stack_slabs([_fwd_piece(1, o)(u, a1)
-                                 for o in range(len(t2s))])
+            return tuple(_fwd_piece(1, o)(u, a1)
+                         for o in range(len(t2s)))
+
+        _stack4 = jax.jit(lambda *xs: jnp.stack(xs))
 
         def j3(u, a2):
+            # level 3's output IS the smeared link field -- consumers
+            # (chain forces, heatbaths, action terms) need the dense
+            # (nd, nc, nc, *dims) array, so stack the 4 slabs (604 MB
+            # copy at 32^3x64, vs 1.8 GB per level-1/2 stack avoided)
             if not _fwd_split(u):
                 return _j3(u, a2)
-            return _stack_slabs([_fwd_piece(2, o)(u, a2)
-                                 for o in range(len(t3s))])
+            return _stack4(*[_fwd_piece(2, o)(u, a2)
+                             for o in range(len(t3s))])
 
     def smear(u):
         return j3(u, j2(u, j1(u)))

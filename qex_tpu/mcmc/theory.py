@@ -520,7 +520,6 @@ class LatticeFieldTheory:
 
         def begin(key, u):
             kp, kf, ka = split3(key)
-            p = draw_p(kp, u)
             v = smear_v(u) if any_sm else u
             keys = splitn(kf)
             phis = []
@@ -532,6 +531,10 @@ class LatticeFieldTheory:
                     phis.append(heats[i](keys[i], w))
                     if big:
                         md_mod.dispatch_throttle(phis[-1])
+            # momenta drawn AFTER the smear + heatbath (604 MB less
+            # live during the level-2 forward at 32^3x64); kp comes
+            # from the same split3 slot, so chains are unchanged
+            p = draw_p(kp, u)
             # reuse the already-smeared v for H0 (the smear forward is
             # a third of the heatbath phase at the north-star volume)
             return p, phis, hamiltonian2_split(u, p, phis, v), ka
