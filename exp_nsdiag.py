@@ -1,12 +1,8 @@
-"""North-star OOM localization (round 5).
-
-block_until_ready is a no-op on the axon tunnel, so phase timers
-measure DISPATCH: the RESOURCE_EXHAUSTED that surfaced at MD's first
-piece was really an execution failure somewhere in the queued begin
-pipeline.  This runner executes begin stage by stage with a REAL sync
-(scalar fetch) after each, plus an HBM capacity bisect up front.
-"""
+"""North-star residency diagnostic: client-side live arrays vs
+allocatable HBM after each split-trajectory phase at 32^3x64."""
+import gc
 import time
+from collections import Counter
 
 import jax
 import jax.numpy as jnp
@@ -23,15 +19,23 @@ from qex_tpu.solvers.base import SolverParams
 print("backend:", jax.default_backend(), flush=True)
 
 
-def fetch(x):
-    return float(jax.jit(lambda a: jnp.real(
-        jnp.sum(jnp.abs(a[(0,) * (a.ndim - 1)]))).astype(jnp.float32))(x))
+def dump_live(tag):
+    gc.collect()
+    arrs = jax.live_arrays()
+    tot = sum(a.nbytes for a in arrs)
+    byshape = Counter()
+    for a in arrs:
+        byshape[(a.dtype.name,) + tuple(a.shape)] += a.nbytes
+    print(f"LIVE {tag}: {len(arrs)} arrays, {tot/2**30:.2f} GiB",
+          flush=True)
+    for k, v in byshape.most_common(6):
+        print(f"   {v/2**30:6.2f} GiB  {k}", flush=True)
 
 
 def try_alloc(gib):
     n = int(gib * 2**30 // 8)
     try:
-        x = jax.jit(lambda: jnp.zeros((n,), jnp.complex64))()
+        x = jax.jit(lambda n=n: jnp.zeros((n,), jnp.complex64))()
         float(jax.jit(lambda y: jnp.real(y[0]))(x))
         del x
         print(f"alloc {gib:5.2f} GiB: OK", flush=True)
@@ -41,10 +45,6 @@ def try_alloc(gib):
               flush=True)
         return False
 
-
-for gib in (14, 13, 12, 11, 10, 8):
-    if try_alloc(gib):
-        break
 
 lat = Lattice((32, 32, 32, 64))
 dtype = jnp.complex64
@@ -63,49 +63,64 @@ th = LatticeFieldTheory(
                                      restarts=2),
     tau=0.5)
 cache, transform, stages = th._split_transform_stages()
-_sm, _add, _ch, _pb, sj = md_mod._smeared_split_jits(
-    th.terms, transform, stages)
-j1s, j2s, j3s = sj
-
-t0 = time.time()
-a1 = j1s(u)
-print(f"j1 (L1 forward): {fetch(a1):.3e}  {time.time()-t0:.1f} s",
-      flush=True)
-t0 = time.time()
-a2 = j2s(u, a1)
-print(f"j2 (L2 forward): {fetch(a2):.3e}  {time.time()-t0:.1f} s",
-      flush=True)
-del a1
-t0 = time.time()
-v = j3s(u, a2)
-print(f"j3 (L3 forward): {fetch(v):.3e}  {time.time()-t0:.1f} s",
-      flush=True)
-del a2
-try_alloc(8)
-
 begin, finish = th._split_begin_finish(transform, stages)
-kp, kf, ka = jax.jit(lambda k: jax.random.split(k, 3))(key)
-keys = jax.jit(lambda k: jax.random.split(k, len(th.terms)))(kf)
-phis = []
-for i, t in enumerate(th.terms):
-    base = None
-    for (_n, b, _s) in th.matter_bases:
-        pass
-    # heatbath per matter term via the cached bf bundle is internal;
-    # drive the public begin instead now that the forward is resident
-print("running full begin with per-stage v reuse:", flush=True)
 t0 = time.time()
 p, phis, h2, ka = begin(key, u)
-from qex_tpu.ops import dsum
-hv = float(jax.jit(lambda h: dsum.df_value(h))(h2))
-print(f"begin: H={hv:.6e}  {time.time()-t0:.1f} s", flush=True)
-try_alloc(6)
-del v
+md_mod.dispatch_throttle(h2)
+print(f"begin: {time.time()-t0:.1f} s", flush=True)
+dump_live("after begin")
+try_alloc(4)
+
+_sm, _add, chains, pullback, sj = md_mod._smeared_split_jits(
+    th.terms, transform, stages)
+j1, j2, j3 = sj
 t0 = time.time()
-u1, p1 = md_mod.run_trajectory_split(
-    th.terms, u, p, phis, th.tau,
-    __import__("qex_tpu.hmc.hmc", fromlist=["x"]).gauge_update_u,
-    transform=transform, transform_stages=stages)
-print(f"md dispatch: {time.time()-t0:.1f} s", flush=True)
-print(f"md synced: |u1|={fetch(u1):.3e}  {time.time()-t0:.1f} s",
-      flush=True)
+a1 = j1(u)
+md_mod.dispatch_throttle(a1)
+dump_live("after j1")
+try_alloc(4)
+a2 = j2(u, a1)
+md_mod.dispatch_throttle(a2)
+dump_live("after j2")
+try_alloc(4)
+v = j3(u, a2)
+md_mod.dispatch_throttle(v)
+print(f"staged fwd: {time.time()-t0:.1f} s", flush=True)
+dump_live("after j3")
+try_alloc(2)
+# production big-volume flow: free the stage stacks through the
+# chain solves; the pullback recomputes them
+a1 = a2 = None
+gc.collect()
+
+rdt = jnp.finfo(u.dtype).dtype
+t0 = time.time()
+ci = chains[1](v, phis[1], jnp.asarray(0.1, rdt))
+md_mod.dispatch_throttle(ci)
+print(f"chain fermion: {time.time()-t0:.1f} s", flush=True)
+dump_live("after chain")
+try_alloc(2)
+t0 = time.time()
+tot = _add(ci, chains[2](v, phis[2], jnp.asarray(0.1, rdt)))
+md_mod.dispatch_throttle(tot)
+ci = v = None
+gc.collect()
+for attempt in range(3):
+    try:
+        p2 = pullback(u, p, tot, None, None)
+        break
+    except Exception as e:
+        print(f"pullback attempt {attempt}: {type(e).__name__}",
+              flush=True)
+        dump_live(f"at pullback failure {attempt}")
+        for gib in (4, 2, 1, 0.5, 0.25):
+            if try_alloc(gib):
+                break
+        gc.collect()
+        time.sleep(30)
+tot = None
+md_mod.dispatch_throttle(p2)
+print(f"pullback: {time.time()-t0:.1f} s", flush=True)
+dump_live("after pullback")
+try_alloc(2)
+print("DIAG DONE", flush=True)

@@ -508,17 +508,27 @@ def _smeared_split_jits_build(terms, transform, transform_stages=None):
                 return slab_of(g, c)
             return g[c] if g[c] is not None else zslab(u)
 
+        # per-piece dispatch throttle at big volumes: each addend VJP
+        # returns ~0.56 GiB of gradient slabs ALLOCATED AT DISPATCH,
+        # and one level's unthrottled run loop queues ~28 programs
+        # (~11 GiB of pending outputs at 32^3x64) -- see
+        # dispatch_throttle
         if u_only:
             def run(u, g):
+                big = _big_volume(u)
                 gu = [None] * u.shape[0]
                 for c, (pre_c, pvs) in enumerate(pieces):
                     w = pre_c(u)
                     gw = projvjp1(w, cot(g, c, u))
                     for pv, u_idx, _a_idx in pvs:
                         _merge_slabs(gu, u_idx, pv(u, gw))
+                    if big:
+                        dispatch_throttle(
+                            [s for s in gu if s is not None])
                 return gu
         else:
             def run(u, a, g):
+                big = _big_volume(u)
                 gu = [None] * u.shape[0]
                 ga = [None] * na
                 for c, (pre_c, pvs) in enumerate(pieces):
@@ -528,6 +538,10 @@ def _smeared_split_jits_build(terms, transform, transform_stages=None):
                         gus, gals = pv(u, a, gw)
                         _merge_slabs(gu, u_idx, gus)
                         _merge_slabs(ga, a_idx, gals)
+                    if big:
+                        dispatch_throttle(
+                            [s for s in gu if s is not None]
+                            + [s for s in ga if s is not None])
                 return gu, ga
         return run
 
@@ -694,14 +708,36 @@ def _smeared_split_jits_build(terms, transform, transform_stages=None):
 
     def pullback_kick(u, p, chain, a1=None, a2=None):
         # a1/a2 may be threaded from the kick's forward smear (the
-        # same-time chain evaluation) to skip recomputing j1/j2 here
+        # same-time chain evaluation) to skip recomputing j1/j2 here;
+        # at big volumes the caller frees them instead (holding both
+        # through the chain solves breaks the HBM budget) and they
+        # are recomputed here, throttled per stage
+        big = _big_volume(u)
         if a1 is None:
             a1 = j1(u)
+            if big:
+                dispatch_throttle(a1)
         if a2 is None:
             a2 = j2(u, a1)
+            if big:
+                dispatch_throttle(a2)
         if terms_mode:
+            if big:
+                # hold only the level each pb consumes: a1 is cheap
+                # to recompute (12 small programs) and 1.7 GiB to hold
+                a1 = None
             gu, ga2 = pb3(u, a2, chain)
+            if big:
+                dispatch_throttle([g for g in ga2 if g is not None])
+            a2 = chain = None
+            if a1 is None:
+                a1 = j1(u)
+                if big:
+                    dispatch_throttle(a1)
             gu2, ga1 = pb2(u, a1, ga2)
+            if big:
+                dispatch_throttle([g for g in ga1 if g is not None])
+            a1 = ga2 = None
             gu1 = pb1(u, ga1)
             for lst in (gu2, gu1):
                 idx = [i for i, s in enumerate(lst) if s is not None]
@@ -823,7 +859,11 @@ def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
                     a2 = j2(u, a1)
                     if big:
                         dispatch_throttle(a2)
+                        a1 = None
                     v = j3(u, a2)
+                    if big:
+                        dispatch_throttle(v)
+                        a2 = None
                 else:
                     a1 = a2 = None
                     v = smear(u)
@@ -847,7 +887,12 @@ def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
                 if stages is not None:
                     # staged forward: keep a1/a2 for the pullback
                     # (skips recomputing the first two smear levels
-                    # per kick)
+                    # per kick) -- EXCEPT at big volumes, where
+                    # holding both level stacks (3.4 GiB at 32^3x64)
+                    # through the 5.6 GiB-temp chain-force solves
+                    # breaks the ~14 GiB budget: free them and let
+                    # pullback_kick recompute (one extra L1+L2
+                    # forward per shared pullback)
                     j1, j2, j3 = stages
                     a1 = j1(u)
                     if big:
@@ -855,7 +900,11 @@ def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
                     a2 = j2(u, a1)
                     if big:
                         dispatch_throttle(a2)
+                        a1 = None
                     v = j3(u, a2)
+                    if big:
+                        dispatch_throttle(v)
+                        a2 = None
                 else:
                     a1 = a2 = None
                     v = smear(u)
@@ -869,9 +918,14 @@ def run_trajectory_split(terms: Sequence[ActionTerm], u0: jax.Array,
                     ci = chains[i](v, phis[i], jnp.asarray(c, rdt))
                     if prof is not None:
                         _psync(ci)
+                    elif big:
+                        dispatch_throttle(ci)
                 total = ci if total is None else add(total, ci)
+            if big:
+                v = ci = None  # dead before the pullback's recomputes
             with ptimer("smear_pullback"):
                 p = pullback(u, p, total, a1, a2)
+                total = None
                 if prof is not None:
                     _psync(p)
                 elif big:
