@@ -35,6 +35,27 @@ scheme = integrators.get_integrator("2MN")
 print(f"backend: {jax.default_backend()}", flush=True)
 
 
+def _retry(fn, *args, tries=6, sleep_s=45):
+    """Re-issue a jitted call after transient tunnel failures.
+
+    The axon remote-compile endpoint occasionally drops a response
+    mid-body ("response body closed before all bytes were read") --
+    the program state (u, key) lives host-side, so simply re-calling
+    the same jit re-submits the compile.  Exponential-ish backoff;
+    re-raises after `tries` consecutive failures (a real outage).
+    """
+    for attempt in range(tries):
+        try:
+            return fn(*args)
+        except jax.errors.JaxRuntimeError as e:
+            if attempt == tries - 1:
+                raise
+            print(f"transient tunnel failure (attempt {attempt}): "
+                  f"{str(e)[:120]}; retrying in {sleep_s} s",
+                  flush=True)
+            time.sleep(sleep_s)
+
+
 def chain(dims, warm_steps, n_warm, scan_steps, n_scan, n_meas,
           rms_target=0.7, seed=50):
     """Run one accepting chain; returns the record dict.
@@ -70,7 +91,7 @@ def chain(dims, warm_steps, n_warm, scan_steps, n_scan, n_meas,
     coarse = make_step(warm_steps)
     for i in range(n_warm):
         key, k = jax.random.split(key)
-        u, dH, _, pl = coarse(k, u, jnp.bool_(True))
+        u, dH, _, pl = _retry(coarse, k, u, jnp.bool_(True))
         if i % 5 == 0:
             print(f"{dims} warm {i}: dH={float(dH):+.3f} "
                   f"plaq={float(pl):.5f} ({time.time()-t0:.0f} s)",
@@ -83,7 +104,7 @@ def chain(dims, warm_steps, n_warm, scan_steps, n_scan, n_meas,
         dhs = []
         for i in range(n_scan):
             key, k = jax.random.split(key)
-            u, dH, _, pl = stepf(k, u, jnp.bool_(True))
+            u, dH, _, pl = _retry(stepf, k, u, jnp.bool_(True))
             dhs.append(float(dH))
         rms = (sum(d * d for d in dhs) / len(dhs)) ** 0.5
         scan[ns] = dhs
@@ -99,12 +120,12 @@ def chain(dims, warm_steps, n_warm, scan_steps, n_scan, n_meas,
     stepf = make_step(chosen)
     for i in range(5):          # re-equilibrate under Metropolis
         key, k = jax.random.split(key)
-        u, dH, acc, pl = stepf(k, u, jnp.bool_(False))
+        u, dH, acc, pl = _retry(stepf, k, u, jnp.bool_(False))
     dhs, accs, plaqs = [], [], []
     tm0 = time.time()
     for i in range(n_meas):
         key, k = jax.random.split(key)
-        u, dH, acc, pl = stepf(k, u, jnp.bool_(False))
+        u, dH, acc, pl = _retry(stepf, k, u, jnp.bool_(False))
         dhs.append(float(dH))
         accs.append(bool(acc))
         plaqs.append(float(pl))
