@@ -56,6 +56,7 @@ def hmc_step(key: jax.Array, u: jax.Array,
              scheme: Integrator, tau: float, nsteps: int,
              always_accept: bool | jax.Array = False,
              action2_fn: Callable | None = None,
+             compensated_md: bool = False,
              ) -> tuple[jax.Array, HMCState]:
     """One HMC trajectory: refresh p, integrate, Metropolis.
 
@@ -68,6 +69,12 @@ def hmc_step(key: jax.Array, u: jax.Array,
     gauge.action.full_action2) -> the Hamiltonian is carried as an
     (hi, lo) pair and dH keeps sub-ulp resolution at volume in f32
     (the f64-Metropolis role of the reference, metropolis.nim:6-16).
+
+    ``compensated_md``: accumulate MD kicks through two-float
+    momenta (integrators.integrate(compensated=True)) -- removes the
+    measured f32 sub-ulp kick-loss energy drift that grows ~n^4 with
+    the step count (see integrate's docstring; DRIFT_CPU.json).
+    Required for valid f32 Metropolis at fine steps / large volume.
     """
     from ..ops import dsum
     nd, nc = u.shape[0], u.shape[1]
@@ -76,7 +83,8 @@ def hmc_step(key: jax.Array, u: jax.Array,
         k, u.shape[3:], nc, u.dtype))(jax.random.split(kp, nd))
 
     u_new, p_new = integrate(scheme, u, p, tau, nsteps, force_fn,
-                             gauge_update_u)
+                             gauge_update_u,
+                             compensated=compensated_md)
     if action2_fn is not None:
         h_old2 = dsum.df_add(kinetic_energy2(p), action2_fn(u))
         h_new2 = dsum.df_add(kinetic_energy2(p_new),

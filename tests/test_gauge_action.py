@@ -301,3 +301,61 @@ def test_derived_fg_schemes_gauge_order(lat, u):
         # small-c5 schemes (dH changes sign); compare 4 vs 8
         d4, d8 = dh(4), dh(8)
         assert abs(d8) < abs(d4) / 8.0, (name, d4, d8)
+
+
+def test_compensated_kicks_remove_f32_energy_drift():
+    """Plain f32 kicks lose the sub-ulp part of each momentum
+    increment with a bias: at fixed tau the trajectory dH acquires a
+    systematic that grows ~n^4 with step count (measured -1.66+-0.04
+    at 8^3x16 nsteps=48; DRIFT_CPU.json / DRIFT_CHIP.json).  The
+    two-float kick accumulator (integrate(compensated=True)) must
+    track the f64 trajectory where plain f32 drifts away from it.
+    """
+    from functools import partial
+    from qex_tpu.ops import group as grp
+
+    lat_ = Lattice((8, 8, 8, 8))
+    beta = 6.0
+    c = ga.wilson(beta)
+    act = partial(ga.full_action, c, lat_)
+    frc = partial(ga.gauge_force, c, lat_)
+    scheme = integrators.get_integrator("2MN")
+
+    # equilibrate a bit in f32 (the drift needs |kick| << |p|, i.e. a
+    # thermal config, not the cold start)
+    @jax.jit
+    def warm_step(key, uu):
+        u1, _ = hmc.hmc_step(key, uu, act, frc, scheme, 1.0, 10,
+                             always_accept=jnp.bool_(True))
+        return u1
+
+    u32 = jax.jit(lambda: grp.unit_gauge(lat_, jnp.complex64))()
+    key = jax.random.PRNGKey(3)
+    for _ in range(12):
+        key, k = jax.random.split(key)
+        u32 = warm_step(k, u32)
+
+    p32 = rand_tah_gauge(jax.random.PRNGKey(17), lat_).astype(
+        jnp.complex64)
+    n = 48
+
+    def dh(uu, pp, comp):
+        u1, p1 = integrators.integrate(scheme, uu, pp, 1.0, n, frc,
+                                       hmc.gauge_update_u,
+                                       compensated=comp)
+        # measure H in f64 so the comparison isolates the DYNAMICS
+        h64 = lambda a, b: float(
+            hmc.kinetic_energy(b.astype(jnp.complex128))
+            + act(a.astype(jnp.complex128)))
+        return h64(u1, p1) - h64(uu, pp)
+
+    d_plain = dh(u32, p32, False)
+    d_comp = dh(u32, p32, True)
+    d_true = dh(u32.astype(jnp.complex128), p32.astype(jnp.complex128),
+                False)
+    # f64 dH at these settings is tiny; plain f32 shows the drift
+    # (~ -0.8 at this volume), compensated kicks must recover most of
+    # it (remaining error: u-update rounding, unbiased)
+    assert abs(d_plain - d_true) > 0.25, (d_plain, d_true)
+    assert abs(d_comp - d_true) < 0.4 * abs(d_plain - d_true), (
+        d_plain, d_comp, d_true)
